@@ -1,0 +1,148 @@
+"""Analytic anti-aliasing: exact triangle-pixel overlap area + gradient.
+
+TPU-native replacement for the reference's polygon-clipping AA library
+(``cuda_impl/aa.h:151-441`` and its torch oracle ``pyrenderer.py:66-425``).
+
+The reference walks triangle edges, builds an up-to-10-vertex clip polygon
+with per-vertex 2x2 Jacobians, and fan-triangulates -- hundreds of data-
+dependent branches per (triangle, pixel) pair, which cannot vectorize on a
+VPU. We compute the *same quantity* (exact overlap area of a CCW triangle
+with an axis-aligned box, and its exact derivative w.r.t. the three vertices)
+in closed form with ~50 branch-free flops per edge:
+
+Area.  By the winding-number decomposition, for a CCW simple polygon P,
+
+    area(P ^ B) = sum_edges  sign(dy_e) * Int_{y in B_y ^ span_e}
+                     ( clamp(x_e(y), x0, x1) - x0 ) dy
+
+and each per-edge integral of a clamped linear function has a closed form
+using clamp(z,x0,x1) - x0 = relu(z - x0) - relu(z - x1) and
+Int relu(k + s*t) dt = (relu(k + s*t1)^2 - relu(k + s*t0)^2) / (2s).
+Each edge contributes independently; no polygon is ever built. This is exact
+for every configuration the reference handles, including its fast paths
+(bbox reject ``aa.h:476``, half-plane reject ``aa.h:488``, full containment
+``aa.h:493-496``) which all emerge from the formula, and it is well-defined
+on the measure-zero degeneracies the reference flags as error codes E00-E05
+(``dmesh2_renderer/README.md:3-8``) -- those simply evaluate to the correct
+subgradient instead of aborting.
+
+Gradient.  By the Reynolds transport (shape-derivative) theorem, moving
+vertex a of edge (a, b) induces boundary normal velocity (1-t) * da on the
+part of the edge inside the box, so with n|e| = (dy, -dx) (outward for CCW)
+and [t0, t1] the Liang-Barsky interval of edge ^ box:
+
+    d area / d a = (dy, -dx) * ((t1 - t0) - (t1^2 - t0^2)/2)
+    d area / d b = (dy, -dx) * (t1^2 - t0^2)/2
+
+which replaces the reference's per-polygon-vertex Jacobian chain
+(``aa.h:67-86, 276-294, 416-433``) with 6 numbers per edge.
+
+All functions are plain jnp on arbitrary broadcastable shapes, safe both in
+traced XLA code and inside Pallas kernel bodies.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def _int_relu_linear(k, s, t0, t1):
+    """Integral of relu(k + s*t) dt over [t0, t1] (t0 <= t1), branch-free."""
+    big = jnp.abs(s) > _EPS
+    s_safe = jnp.where(big, s, 1.0)
+    rb = jnp.maximum(k + t1 * s, 0.0)
+    ra = jnp.maximum(k + t0 * s, 0.0)
+    general = (rb * rb - ra * ra) / (2.0 * s_safe)
+    # s ~ 0: integrand is constant relu(k).
+    flat = jnp.maximum(k, 0.0) * (t1 - t0)
+    return jnp.where(big, general, flat)
+
+
+def _edge_area(xa, ya, xb, yb, x0, x1, y0, y1):
+    """Signed area contribution of one directed edge (a -> b)."""
+    dx = xb - xa
+    dy = yb - ya
+    dy_safe = jnp.where(jnp.abs(dy) > _EPS, dy, jnp.where(dy >= 0, _EPS, -_EPS))
+    # y-slab [y0, y1] in edge parameter t (p = a + t*(b-a)).
+    ts0 = (y0 - ya) / dy_safe
+    ts1 = (y1 - ya) / dy_safe
+    ta = jnp.clip(jnp.minimum(ts0, ts1), 0.0, 1.0)
+    tb = jnp.clip(jnp.maximum(ts0, ts1), 0.0, 1.0)
+    tb = jnp.maximum(ta, tb)
+    i_lo = _int_relu_linear(xa - x0, dx, ta, tb)
+    i_hi = _int_relu_linear(xa - x1, dx, ta, tb)
+    return dy * (i_lo - i_hi)
+
+
+def tri_box_overlap_area(tri, x0, x1, y0, y1):
+    """Exact overlap area of CCW triangles with axis-aligned boxes.
+
+    Args:
+      tri: (..., 3, 2) CCW-ordered screen-space triangle vertices
+           (the reference's ``aa_face_verts``, ``__init__.py:339``).
+      x0, x1, y0, y1: box bounds, broadcastable against ``tri[..., 0, 0]``.
+
+    Returns:
+      (...,) overlap area, clamped into [0, box area]. A CW (mis-ordered)
+      triangle yields the negated winding and clamps to 0; callers are
+      expected to order vertices CCW as the reference does
+      (``pyrenderer.py:521-529``).
+    """
+    area = 0.0
+    for e in range(3):
+        a = tri[..., e, :]
+        b = tri[..., (e + 1) % 3, :]
+        area = area + _edge_area(a[..., 0], a[..., 1], b[..., 0], b[..., 1], x0, x1, y0, y1)
+    box = (x1 - x0) * (y1 - y0)
+    return jnp.clip(area, 0.0, box)
+
+
+def _edge_clip_interval(xa, ya, xb, yb, x0, x1, y0, y1):
+    """Liang-Barsky t-interval of segment a->b inside the box (t1 >= t0)."""
+
+    def slab(pa, pb, lo, hi):
+        d = pb - pa
+        big = jnp.abs(d) > _EPS
+        d_safe = jnp.where(big, d, 1.0)
+        u0 = (lo - pa) / d_safe
+        u1 = (hi - pa) / d_safe
+        enter = jnp.minimum(u0, u1)
+        exit_ = jnp.maximum(u0, u1)
+        inside0 = (pa >= lo) & (pa <= hi)
+        enter = jnp.where(big, enter, jnp.where(inside0, -jnp.inf, jnp.inf))
+        exit_ = jnp.where(big, exit_, jnp.where(inside0, jnp.inf, -jnp.inf))
+        return enter, exit_
+
+    ex_, xx = slab(xa, xb, x0, x1)
+    ey_, xy = slab(ya, yb, y0, y1)
+    t0 = jnp.clip(jnp.maximum(ex_, ey_), 0.0, 1.0)
+    t1 = jnp.clip(jnp.minimum(xx, xy), 0.0, 1.0)
+    t1 = jnp.maximum(t0, t1)
+    return t0, t1
+
+
+def tri_box_overlap_area_grad(tri, x0, x1, y0, y1):
+    """Exact d(overlap area)/d(tri vertices) via the shape derivative.
+
+    Args:
+      tri: (..., 3, 2) CCW triangle vertices.
+    Returns:
+      (..., 3, 2) gradient, the TPU-native equivalent of the reference's
+      ``grad_tri_verts`` accumulation (``aa.h:431-433``).
+    """
+    grads = [jnp.zeros_like(tri[..., 0, :]) for _ in range(3)]
+    for e in range(3):
+        j = (e + 1) % 3
+        a = tri[..., e, :]
+        b = tri[..., j, :]
+        dx = b[..., 0] - a[..., 0]
+        dy = b[..., 1] - a[..., 1]
+        t0, t1 = _edge_clip_interval(a[..., 0], a[..., 1], b[..., 0], b[..., 1], x0, x1, y0, y1)
+        j2 = 0.5 * (t1 * t1 - t0 * t0)
+        j1 = (t1 - t0) - j2
+        n = jnp.stack([dy, -dx], axis=-1)  # outward normal * edge length (CCW)
+        grads[e] = grads[e] + n * j1[..., None]
+        grads[j] = grads[j] + n * j2[..., None]
+    return jnp.stack(grads, axis=-2)

@@ -1,0 +1,71 @@
+"""Global constants for the TPU-native dmesh2 renderer.
+
+These mirror the compile-time configuration of the CUDA reference
+(``cuda_impl/config.h:4-5``, ``cuda_impl/auxiliary.h:9-11``) where a constant
+is behavioral (tile size, early-termination threshold), and add the
+TPU-specific knobs that replace the reference's dynamic device allocations
+(static binning capacity, faces-per-chunk streamed into VMEM).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Tile size in pixels. The reference uses 16x16 CUDA blocks
+# (cuda_impl/config.h:4-5). We keep 16x16 *pixels per tile* because the tile
+# size is behavioral (it determines binning granularity), but on TPU a tile's
+# 256 pixels are laid out as an (^, 256) vector block: sublanes carry
+# per-face/-channel data, 256 pixels ride the lane dimension (2 x 128 lanes).
+TILE_X = 16
+TILE_Y = 16
+TILE_PIXELS = TILE_X * TILE_Y  # 256
+
+# Early-termination threshold on transmittance, identical to the reference
+# (cuda_impl/auxiliary.h:9, used at forward.cu:412).
+T_EPS = 1e-4
+
+# Degenerate-edge epsilon used by the AA triangle precompute
+# (dmesh2_renderer/pyrenderer.py:4).
+AA_EPS = 1e-3
+
+# w-clamping epsilon in projection (dmesh2_renderer/__init__.py:253-255).
+W_EPS = 1e-4
+
+# Ray-direction normalization epsilon (dmesh2_renderer/__init__.py:236).
+RAY_NORM_EPS = 1e-6
+
+# Default number of (duplicated) face instances a frame may bin. The CUDA
+# reference sizes this buffer dynamically after a device->host readback of the
+# prefix sum (cuda_impl/renderer.cu:174-183); XLA requires a static capacity,
+# so the renderer rounds the requested capacity up to a power of two and
+# reports the true instance count for overflow accounting.
+DEFAULT_BINNING_CAPACITY = 1 << 18
+
+# Default static cap on how many tiles a single face may be binned into.
+# Faces touching more tiles than this are truncated (reported via overflow).
+DEFAULT_MAX_TILES_PER_FACE = 64
+
+# Faces streamed per chunk from HBM into VMEM inside the compositing kernels
+# (the TPU analogue of the reference's 256-face shared-memory staging rounds,
+# cuda_impl/forward.cu:228-304).
+DEFAULT_FACE_CHUNK = 128
+
+# Width of one face record in the packed face-stream table (f32 words).
+FACE_RECORD_WIDTH = 32
+
+# Width of one per-entry gradient record emitted by the backward kernel.
+GRAD_RECORD_WIDTH = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static (trace-time) configuration of one rasterization call."""
+
+    binning_capacity: int = DEFAULT_BINNING_CAPACITY
+    max_tiles_per_face: int = DEFAULT_MAX_TILES_PER_FACE
+    face_chunk: int = DEFAULT_FACE_CHUNK
+    # Use the Pallas kernels; False falls back to the pure-XLA reference
+    # compositor (slow; used by tests and as executable documentation).
+    use_pallas: bool = True
+    # Run Pallas kernels in interpreter mode (CPU testing).
+    interpret: bool = False
