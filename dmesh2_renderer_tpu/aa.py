@@ -48,20 +48,15 @@ import jax.numpy as jnp
 _EPS = 1e-12
 
 
-def _int_relu_linear(k, s, t0, t1):
-    """Integral of relu(k + s*t) dt over [t0, t1] (t0 <= t1), branch-free."""
-    big = jnp.abs(s) > _EPS
-    s_safe = jnp.where(big, s, 1.0)
-    rb = jnp.maximum(k + t1 * s, 0.0)
-    ra = jnp.maximum(k + t0 * s, 0.0)
-    general = (rb * rb - ra * ra) / (2.0 * s_safe)
-    # s ~ 0: integrand is constant relu(k).
-    flat = jnp.maximum(k, 0.0) * (t1 - t0)
-    return jnp.where(big, general, flat)
-
-
 def _edge_area(xa, ya, xb, yb, x0, x1, y0, y1):
-    """Signed area contribution of one directed edge (a -> b)."""
+    """Signed area contribution of one directed edge (a -> b).
+
+    Computes dy * Int_{t in yslab ^ [0,1]} clamp(xa + t*dx - x0, 0, x1-x0) dt
+    in a numerically bounded form: every intermediate is clamped into
+    [0, x1-x0] times a sub-interval of [0, 1], so faraway/huge triangles
+    cannot produce cancellation residue (naive relu^2 forms leak ~eps*coord^2
+    of false coverage, visible as phantom alpha in 1000-px-coordinate scenes).
+    """
     dx = xb - xa
     dy = yb - ya
     dy_safe = jnp.where(jnp.abs(dy) > _EPS, dy, jnp.where(dy >= 0, _EPS, -_EPS))
@@ -71,9 +66,25 @@ def _edge_area(xa, ya, xb, yb, x0, x1, y0, y1):
     ta = jnp.clip(jnp.minimum(ts0, ts1), 0.0, 1.0)
     tb = jnp.clip(jnp.maximum(ts0, ts1), 0.0, 1.0)
     tb = jnp.maximum(ta, tb)
-    i_lo = _int_relu_linear(xa - x0, dx, ta, tb)
-    i_hi = _int_relu_linear(xa - x1, dx, ta, tb)
-    return dy * (i_lo - i_hi)
+
+    k = xa - x0
+    w = x1 - x0
+    big = jnp.abs(dx) > _EPS
+    dxs = jnp.where(big, dx, 1.0)
+    # crossing parameters where the clamped linear hits 0 and w
+    tc0 = -k / dxs
+    tc1 = (w - k) / dxs
+    lo = jnp.clip(jnp.minimum(tc0, tc1), ta, tb)
+    hi = jnp.clip(jnp.maximum(tc0, tc1), ta, tb)
+    vlo = jnp.clip(k + lo * dx, 0.0, w)
+    vhi = jnp.clip(k + hi * dx, 0.0, w)
+    vleft = jnp.clip(k + ta * dx, 0.0, w)
+    vright = jnp.clip(k + tb * dx, 0.0, w)
+    integral = (
+        vleft * (lo - ta) + 0.5 * (vlo + vhi) * (hi - lo) + vright * (tb - hi)
+    )
+    flat = jnp.clip(k, 0.0, w) * (tb - ta)
+    return dy * jnp.where(big, integral, flat)
 
 
 def tri_box_overlap_area(tri, x0, x1, y0, y1):
@@ -99,6 +110,22 @@ def tri_box_overlap_area(tri, x0, x1, y0, y1):
     return jnp.clip(area, 0.0, box)
 
 
+def tri_box_overlap_area_xy(x0c, y0c, x1c, y1c, x2c, y2c, bx0, bx1, by0, by1):
+    """Coordinate-plane variant of :func:`tri_box_overlap_area`.
+
+    Takes the six vertex coordinates as separate broadcastable arrays (the
+    natural layout inside Pallas kernels, where faces are (C, 1) planes and
+    pixel boxes are (1, N) planes). Semantics identical to the stacked form.
+    """
+    area = (
+        _edge_area(x0c, y0c, x1c, y1c, bx0, bx1, by0, by1)
+        + _edge_area(x1c, y1c, x2c, y2c, bx0, bx1, by0, by1)
+        + _edge_area(x2c, y2c, x0c, y0c, bx0, bx1, by0, by1)
+    )
+    box = (bx1 - bx0) * (by1 - by0)
+    return jnp.clip(area, 0.0, box)
+
+
 def _edge_clip_interval(xa, ya, xb, yb, x0, x1, y0, y1):
     """Liang-Barsky t-interval of segment a->b inside the box (t1 >= t0)."""
 
@@ -121,6 +148,30 @@ def _edge_clip_interval(xa, ya, xb, yb, x0, x1, y0, y1):
     t1 = jnp.clip(jnp.minimum(xx, xy), 0.0, 1.0)
     t1 = jnp.maximum(t0, t1)
     return t0, t1
+
+
+def tri_box_overlap_grad_xy(x0c, y0c, x1c, y1c, x2c, y2c, bx0, bx1, by0, by1):
+    """Coordinate-plane variant of :func:`tri_box_overlap_area_grad`.
+
+    Returns six arrays (gx0, gy0, gx1, gy1, gx2, gy2): d(area)/d(vertex
+    coordinate), broadcast over the input planes.
+    """
+    xs = (x0c, x1c, x2c)
+    ys = (y0c, y1c, y2c)
+    gx = [0.0, 0.0, 0.0]
+    gy = [0.0, 0.0, 0.0]
+    for e in range(3):
+        j = (e + 1) % 3
+        dx = xs[j] - xs[e]
+        dy = ys[j] - ys[e]
+        t0, t1 = _edge_clip_interval(xs[e], ys[e], xs[j], ys[j], bx0, bx1, by0, by1)
+        j2 = 0.5 * (t1 * t1 - t0 * t0)
+        j1 = (t1 - t0) - j2
+        gx[e] = gx[e] + dy * j1
+        gy[e] = gy[e] - dx * j1
+        gx[j] = gx[j] + dy * j2
+        gy[j] = gy[j] - dx * j2
+    return gx[0], gy[0], gx[1], gy[1], gx[2], gy[2]
 
 
 def tri_box_overlap_area_grad(tri, x0, x1, y0, y1):

@@ -1,0 +1,45 @@
+"""Functional full-frame render entry point (jit/shard_map friendly).
+
+The class API (``models.Renderer``) precomputes rays once per camera set like
+the reference module does; this functional form recomputes them per call so
+the whole step stays a pure function of its inputs -- the shape required for
+``jax.jit`` / ``jax.grad`` / ``shard_map`` composition in training loops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dmesh2_renderer_tpu import geometry as G
+from dmesh2_renderer_tpu.ops.rasterize import make_rasterizer
+from dmesh2_renderer_tpu.utils.config import RasterConfig
+
+
+def render(
+    verts,          # (P, 3)
+    faces,          # (F, 3) int32
+    verts_color,    # (P, 3)
+    faces_opacity,  # (F,)
+    faces_intense,  # (B, F)
+    mv,             # (B, 4, 4)
+    proj,           # (B, 4, 4)
+    background,     # (3,)
+    width: int,
+    height: int,
+    aa_temperature: float = 1.0,
+    config: RasterConfig | None = None,
+):
+    """Render B full-frame views. Returns (color, depth in [0,1], aux)."""
+    config = config or RasterConfig()
+    b = mv.shape[0]
+    ray_o, ray_d = G.init_rays(mv, proj, width, height)
+    verts_ndc, verts_image = G.compute_verts_ndc_image(verts, mv, proj, width, height)
+    tris = G.face_aa_triangles(verts_image, faces)
+    patch_min = jnp.zeros((b, 2), jnp.int32)
+    rasterize = make_rasterizer(width, height, float(aa_temperature), config)
+    color, depth_raw, aux = rasterize(
+        verts, verts_color, faces_opacity, verts_ndc, faces_intense, tris.verts,
+        faces, background, patch_min, ray_o[:, 0, 0, :], ray_d,
+    )
+    depth = 1.0 - (depth_raw + 1.0) / 2.0
+    return color, depth, aux

@@ -256,10 +256,13 @@ def clamp_bary_uv_grad(code, dtype=jnp.float32):
 def ray_tri_intersection_uv_grad(ray_o, ray_d, p0, p1, p2):
     """Analytic Jacobians d(u,v)/d(p0,p1,p2) of Moeller-Trumbore.
 
-    Matches ``auxiliary.h:245-290`` (including its quirk that the squared
-    denominator is clamped *after* the reciprocal is taken; we reproduce the
-    math but guard the division so lanes with denom == 0 yield finite zeros,
-    which the caller masks anyway).
+    Counterpart of ``auxiliary.h:245-290`` -- with a fix: the reference's
+    "dv" block actually differentiates tuv.x (the ray parameter t; it uses
+    the t-numerator ``dot(cross(T,E1), E2)`` and its partials), so the CUDA
+    renderer's v-channel vertex gradients are not the derivative of the v it
+    interpolates with. We derive dv from v = dot(cross(T,E1), d) / denom
+    directly; both channels here are validated against jax.grad of
+    :func:`ray_tri_intersection`.
 
     Returns 6 arrays (..., 3): du/dp0, du/dp1, du/dp2, dv/dp0, dv/dp1, dv/dp2.
     """
@@ -267,22 +270,28 @@ def ray_tri_intersection_uv_grad(ray_o, ray_d, p0, p1, p2):
     e1 = p1 - p0
     e2 = p2 - p0
 
-    rxe2 = jnp.cross(ray_d, e2)
+    rxe2 = jnp.cross(ray_d, e2)                       # P = cross(d, E2)
     denom_sqrt = jnp.sum(rxe2 * e1, axis=-1, keepdims=True)
     denom = denom_sqrt * denom_sqrt
     denom_inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
 
-    v0 = jnp.sum(rxe2 * t0, axis=-1, keepdims=True)
+    u_num = jnp.sum(rxe2 * t0, axis=-1, keepdims=True)
     v1 = denom_sqrt
-    v2 = jnp.sum(jnp.cross(t0, e1) * e2, axis=-1, keepdims=True)
+    qvec = jnp.cross(t0, e1)                          # Q = cross(T, E1)
+    v_num = jnp.sum(qvec * ray_d, axis=-1, keepdims=True)
+    e1xd = jnp.cross(e1, ray_d)
 
-    du_de1 = (-rxe2 * v0) * denom_inv
-    du_de2 = (jnp.cross(t0, ray_d) * v1 - v0 * jnp.cross(e1, ray_d)) * denom_inv
+    # u = u_num / v1;  d(u_num)/dE1 = 0, d(v1)/dE1 = rxe2,
+    # d(u_num)/dE2 = cross(T, d), d(v1)/dE2 = cross(E1, d), d(u_num)/dT = rxe2
+    du_de1 = (-rxe2 * u_num) * denom_inv
+    du_de2 = (jnp.cross(t0, ray_d) * v1 - u_num * e1xd) * denom_inv
     du_dt = (rxe2 * v1) * denom_inv
 
-    dv_de1 = (jnp.cross(e2, t0) * v1 - v2 * rxe2) * denom_inv
-    dv_de2 = (jnp.cross(t0, e1) * v1 - v2 * jnp.cross(e1, ray_d)) * denom_inv
-    dv_dt = jnp.cross(e1, e2) * v1 * denom_inv
+    # v = v_num / v1;  d(v_num)/dE1 = cross(d, T), d(v_num)/dE2 = 0,
+    # d(v_num)/dT = cross(E1, d)
+    dv_de1 = (jnp.cross(ray_d, t0) * v1 - v_num * rxe2) * denom_inv
+    dv_de2 = (-v_num * e1xd) * denom_inv
+    dv_dt = e1xd * v1 * denom_inv
 
     du_dp0 = -du_de1 - du_de2 - du_dt
     dv_dp0 = -dv_de1 - dv_de2 - dv_dt

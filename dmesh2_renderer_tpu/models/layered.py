@@ -1,0 +1,67 @@
+"""LayeredRenderer: exact depth peeling (non-differentiable).
+
+API mirror of the reference ``LayeredRenderer`` (``dmesh2_renderer/
+__init__.py:388-451``): same constructor and ``generate`` signature including
+the tetrahedral adjacency tensors, which the TPU peel does not need (see
+ops/peel.py for the redesign rationale) but which are accepted for parity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dmesh2_renderer_tpu import geometry as G
+from dmesh2_renderer_tpu.models.renderer import Renderer
+from dmesh2_renderer_tpu.ops.binning import bin_faces
+from dmesh2_renderer_tpu.ops.peel import pack_peel_stream, peel_layers
+from dmesh2_renderer_tpu.ops.reference import face_depth01
+from dmesh2_renderer_tpu.utils.config import RasterConfig
+
+
+class LayeredRenderer(Renderer):
+    def __init__(self, mv, proj, width, height, device=None,
+                 config: RasterConfig | None = None):
+        super().__init__(mv, proj, width, height, device=device, config=config)
+
+    def generate(
+        self,
+        batch_mvp_idx,       # (B,) int camera indices
+        verts,               # (P, 3)
+        faces,               # (F, 3) int
+        tets,                # (T, 4) int   -- accepted for API parity
+        face_tets,           # (F, 2) int   -- accepted for API parity
+        tet_faces,           # (T, 4) int   -- accepted for API parity
+        faces_existence,     # (F,) int
+        num_layers: int,
+    ):
+        """Returns (render_layers (B, H, W, L) int32 face IDs, -1 padded,
+        render_layers_cnt (B, H, W) int32)."""
+        del tets, face_tets, tet_faces  # peel needs no adjacency
+        batch_mvp_idx = jnp.asarray(batch_mvp_idx, dtype=jnp.int32)
+        verts = jnp.asarray(verts, dtype=jnp.float32)
+        faces = jnp.asarray(faces, dtype=jnp.int32)
+        faces_existence = jnp.asarray(faces_existence, dtype=jnp.int32)
+
+        b_mv = self.mv[batch_mvp_idx]
+        b_proj = self.proj[batch_mvp_idx]
+        verts_ndc, verts_image = self.compute_verts_ndc_image(verts, b_mv, b_proj)
+        tris = G.face_aa_triangles(verts_image, faces)
+
+        ray_o = self.ray_o[batch_mvp_idx]
+        ray_d = self.ray_d[batch_mvp_idx]
+        b = int(batch_mvp_idx.shape[0])
+
+        # Bin by min depth over the full frame (renderer.cu:557-558, 603).
+        _, min_depth, _, alive = face_depth01(verts_ndc, faces)
+        patch_min = jnp.zeros((b, 2), jnp.int32)
+        binning = bin_faces(
+            tris.verts, min_depth, alive, patch_min, self.width, self.height,
+            self.config.binning_capacity, self.config.max_tiles_per_face,
+        )
+        self.last_aux = (binning.num_rendered, binning.num_truncated)
+        stream = pack_peel_stream(binning.entry_bf, verts, faces, faces_existence)
+        return peel_layers(
+            stream, binning.tile_starts, binning.tile_counts,
+            ray_o[:, 0, 0, :], ray_d, self.width, self.height, num_layers,
+            chunk=self.config.face_chunk, interpret=self.config.interpret,
+        )

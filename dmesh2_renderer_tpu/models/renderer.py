@@ -1,0 +1,102 @@
+"""User-facing Renderer: the differentiable multi-view triangle renderer.
+
+API mirror of the reference ``Renderer`` (``dmesh2_renderer/__init__.py:
+179-380``): hold a batch of cameras, precompute per-pixel rays once, and per
+call project vertices, build the screen-space AA triangles, slice patch rays,
+rasterize, and remap depth. Gradients for ``aa_face_verts`` / ``verts_ndc``
+flow back through the jnp preprocessing to ``verts`` exactly as the torch ops
+chain in the reference (the dual gradient path, ``__init__.py:332-344``).
+
+Differences (deliberate, documented):
+  * ``device`` is accepted but ignored -- JAX manages placement; shard with
+    ``dmesh2_renderer_tpu.parallel`` for multi-chip.
+  * ``aa_grad_buffer_size`` is accepted but unused: the TPU backward
+    rematerializes the closed-form AA clip instead of buffering K entries
+    per pixel (see ops/rasterize.py).
+  * ``forward`` additionally exposes the binning statistics of the last call
+    via ``self.last_aux`` (overflow accounting replaces the reference's
+    dynamic buffer resizing).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dmesh2_renderer_tpu import geometry as G
+from dmesh2_renderer_tpu.ops.rasterize import make_rasterizer
+from dmesh2_renderer_tpu.utils.config import RasterConfig
+
+
+class Renderer:
+    def __init__(self, mv, proj, width, height, device=None,
+                 aa_grad_buffer_size: int = 20, config: RasterConfig | None = None):
+        self.mv = jnp.asarray(mv, dtype=jnp.float32)          # (B, 4, 4)
+        self.proj = jnp.asarray(proj, dtype=jnp.float32)      # (B, 4, 4)
+        self.width = int(width)
+        self.height = int(height)
+        self.device = device
+        self.num_batch = self.mv.shape[0]
+        self.aa_grad_buffer_size = aa_grad_buffer_size  # parity arg; unused
+        self.config = config or RasterConfig()
+        self.last_aux = None
+
+        # Per-pixel camera rays, precomputed once (__init__.py:198-237).
+        self.ray_o, self.ray_d = G.init_rays(self.mv, self.proj, self.width, self.height)
+
+    def compute_verts_ndc_image(self, verts, mv, proj):
+        return G.compute_verts_ndc_image(verts, mv, proj, self.width, self.height)
+
+    def forward(
+        self,
+        batch_mvp_idx,        # (B,) int camera indices
+        batch_patch_min,      # (B, 2) int patch origins
+        patch_width: int,
+        patch_height: int,
+        verts,                # (P, 3)
+        faces,                # (F, 3) int
+        verts_color,          # (P, 3)
+        faces_opacity,        # (F,)
+        faces_intense,        # (B, F)
+        background,           # (3,)
+        aa_temperature: float = 1.0,
+    ):
+        """Render. Returns (color (B, ph, pw, 3), depth (B, ph, pw) in [0, 1],
+        larger = nearer -- the reference's remap, __init__.py:377-378)."""
+        batch_mvp_idx = jnp.asarray(batch_mvp_idx, dtype=jnp.int32)
+        batch_patch_min = jnp.asarray(batch_patch_min, dtype=jnp.int32)
+        verts = jnp.asarray(verts, dtype=jnp.float32)
+        faces = jnp.asarray(faces, dtype=jnp.int32)
+
+        b_mv = self.mv[batch_mvp_idx]
+        b_proj = self.proj[batch_mvp_idx]
+
+        verts_ndc, verts_image = self.compute_verts_ndc_image(verts, b_mv, b_proj)
+        tris = G.face_aa_triangles(verts_image, faces)
+
+        ray_o, ray_d = G.select_rays(
+            self.ray_o, self.ray_d, batch_mvp_idx, batch_patch_min,
+            patch_width, patch_height,
+        )
+        ray_o_cam = ray_o[:, 0, 0, :]
+
+        rasterize = make_rasterizer(
+            patch_width, patch_height, float(aa_temperature), self.config
+        )
+        color, depth_raw, aux = rasterize(
+            verts,
+            jnp.asarray(verts_color, dtype=jnp.float32),
+            jnp.asarray(faces_opacity, dtype=jnp.float32),
+            verts_ndc,
+            jnp.asarray(faces_intense, dtype=jnp.float32),
+            tris.verts,
+            faces,
+            jnp.asarray(background, dtype=jnp.float32),
+            batch_patch_min,
+            ray_o_cam,
+            ray_d,
+        )
+        self.last_aux = aux
+        depth = 1.0 - (depth_raw + 1.0) / 2.0
+        return color, depth
+
+    __call__ = forward

@@ -1,0 +1,442 @@
+"""Pallas backward compositing kernel (analytic gradients).
+
+TPU-native counterpart of the CUDA backward kernel ``BACKWARD::renderCUDA<3>``
+(``cuda_impl/backward.cu:17-532``), re-derived for a front-to-back sweep:
+
+  CUDA (back-to-front)                  TPU (this kernel, front-to-back)
+  ------------------------------------  ------------------------------------
+  T recovered by division T/(1-a)       T_before carried forward exactly as
+  (backward.cu:340-347)                 in the forward pass (no division)
+  accum_rec suffix recurrence           suffix = total - prefix: with
+  (backward.cu:362-374)                 C_nobg = out_color - T_final*bg known
+                                        from the forward residuals,
+                                        accum_rec_i = (C_nobg - P_i)/T_after_i
+  oarea ring buffer + overflow          AA overlap + gradient recomputed in
+  recompute (backward.cu:241-284)       closed form for every face -- pure
+                                        rematerialization, no K-buffer at all
+  atomicAdd scatter to 6 grad tensors   per-entry gradient records written to
+  (backward.cu:495-529)                 the entry's slot in a dense (R, 32)
+                                        table; deterministic segment-sum
+                                        scatter happens in XLA afterwards
+
+The gradient math (alpha/color/depth/background terms, barycentric-clamp
+Jacobian, Moller-Trumbore uv Jacobians) mirrors backward.cu:350-529 and
+auxiliary.h:245-357 exactly; only the traversal order and the AA gradient
+source differ.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dmesh2_renderer_tpu.aa import tri_box_overlap_grad_xy
+from dmesh2_renderer_tpu.geometry import clamp_bary_uv_grad
+from dmesh2_renderer_tpu.utils.config import (
+    FACE_RECORD_WIDTH,
+    GRAD_RECORD_WIDTH,
+    T_EPS,
+    TILE_PIXELS,
+    TILE_X,
+    TILE_Y,
+)
+from dmesh2_renderer_tpu.ops.binning import REC_AA, REC_C, REC_IN, REC_OP, REC_V, REC_Z
+from dmesh2_renderer_tpu.ops.pallas_fwd import _col, chunk_face_quantities, tile_pack
+
+
+def _bwd_kernel(
+    # scalar prefetch
+    starts_ref, counts_ref, pm_ref,
+    # inputs
+    stream_ref,   # (R + C, 32) ANY
+    ray_o_ref,    # (B, 4) VMEM
+    ray_d_ref,    # (1, 4, 256) VMEM block
+    gin_ref,      # (1, 4, 256) VMEM block: [gr, gg, gb, gd]
+    res_ref,      # (1, 8, 256) VMEM block: [Cnr, Cng, Cnb, Dn, Tfin, pTfin, -, -]
+    bg_ref,       # (1, 4) VMEM
+    # outputs
+    gout_ref,     # (R + C, 32) ANY: per-entry gradient records
+    # scratch
+    buf_ref,      # (C, 32) VMEM
+    grad_ref,     # (C, 32) VMEM
+    sem_in,
+    sem_out,
+    *,
+    grid_x: int,
+    grid_y: int,
+    chunk: int,
+    aa_temperature: float,
+):
+    t = pl.program_id(0)
+    tiles_per_batch = grid_x * grid_y
+    b = t // tiles_per_batch
+    rem = t - b * tiles_per_batch
+    ty = rem // grid_x
+    tx = rem - ty * grid_x
+
+    start = starts_ref[t]
+    count = counts_ref[t]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
+    xx = lane % TILE_X
+    yy = lane // TILE_X
+    px0 = (pm_ref[2 * b] + tx * TILE_X + xx).astype(jnp.float32)
+    py0 = (pm_ref[2 * b + 1] + ty * TILE_Y + yy).astype(jnp.float32)
+
+    rdx = ray_d_ref[0, 0:1, :]
+    rdy = ray_d_ref[0, 1:2, :]
+    rdz = ray_d_ref[0, 2:3, :]
+    ox = ray_o_ref[b, 0]
+    oy = ray_o_ref[b, 1]
+    oz = ray_o_ref[b, 2]
+
+    g_r = gin_ref[0, 0:1, :]
+    g_g = gin_ref[0, 1:2, :]
+    g_b = gin_ref[0, 2:3, :]
+    g_d = gin_ref[0, 3:4, :]
+    cn_r = res_ref[0, 0:1, :]
+    cn_g = res_ref[0, 1:2, :]
+    cn_b = res_ref[0, 2:3, :]
+    dn = res_ref[0, 3:4, :]
+    t_fin = res_ref[0, 4:5, :]
+    pt_fin = res_ref[0, 5:6, :]
+    # background-term dot product (backward.cu:389-394)
+    bg_dot = bg_ref[0, 0] * g_r + bg_ref[0, 1] * g_g + bg_ref[0, 2] * g_b + g_d
+
+    nchunks = pl.cdiv(count, chunk)
+
+    def chunk_body(i, carry):
+        t_run, p_r, p_g, p_b, p_d = carry
+        copy = pltpu.make_async_copy(
+            stream_ref.at[pl.ds(start + i * chunk, chunk), :], buf_ref, sem_in
+        )
+        copy.start()
+        copy.wait()
+        buf = buf_ref[:, :]
+        n_valid = count - i * chunk
+
+        q = chunk_face_quantities(
+            buf, n_valid, rdx, rdy, rdz, ox, oy, oz, px0, py0, aa_temperature
+        )
+
+        # --- sequential sweep: T_before and post-blend prefixes per face ---
+        zero_rows = jnp.zeros((chunk, TILE_PIXELS), jnp.float32)
+
+        def sweep(j, s):
+            t_run, p_r, p_g, p_b, p_d, tb, pa_r, pa_g, pa_b, pa_d = s
+            a_row = jax.lax.dynamic_slice(q.alpha, (j, 0), (1, TILE_PIXELS))
+            p_row = jax.lax.dynamic_slice(q.passes, (j, 0), (1, TILE_PIXELS))
+            ok = p_row * (t_run >= T_EPS).astype(p_row.dtype)
+            a_eff = a_row * ok
+            w = a_eff * t_run
+            p_r = p_r + jax.lax.dynamic_slice(q.ic_r, (j, 0), (1, TILE_PIXELS)) * w
+            p_g = p_g + jax.lax.dynamic_slice(q.ic_g, (j, 0), (1, TILE_PIXELS)) * w
+            p_b = p_b + jax.lax.dynamic_slice(q.ic_b, (j, 0), (1, TILE_PIXELS)) * w
+            p_d = p_d + jax.lax.dynamic_slice(q.i_d, (j, 0), (1, TILE_PIXELS)) * w
+            tb = jax.lax.dynamic_update_slice(tb, t_run, (j, 0))
+            pa_r = jax.lax.dynamic_update_slice(pa_r, p_r, (j, 0))
+            pa_g = jax.lax.dynamic_update_slice(pa_g, p_g, (j, 0))
+            pa_b = jax.lax.dynamic_update_slice(pa_b, p_b, (j, 0))
+            pa_d = jax.lax.dynamic_update_slice(pa_d, p_d, (j, 0))
+            t_run = t_run * (1.0 - a_eff)
+            return t_run, p_r, p_g, p_b, p_d, tb, pa_r, pa_g, pa_b, pa_d
+
+        t_run, p_r, p_g, p_b, p_d, tb, pa_r, pa_g, pa_b, pa_d = jax.lax.fori_loop(
+            0, chunk, sweep,
+            (t_run, p_r, p_g, p_b, p_d, zero_rows, zero_rows, zero_rows, zero_rows, zero_rows),
+        )
+
+        # --- vectorized gradient evaluation over (C, 256) ---
+        ok = q.passes * (tb >= T_EPS).astype(jnp.float32)
+        a_eff = q.alpha * ok
+        w = a_eff * tb
+        t_after = tb * (1.0 - a_eff)
+        inv_after = jnp.where(t_after > 0.0, 1.0 / jnp.where(t_after > 0.0, t_after, 1.0), 0.0)
+
+        ar_r = (cn_r - pa_r) * inv_after
+        ar_g = (cn_g - pa_g) * inv_after
+        ar_b = (cn_b - pa_b) * inv_after
+        ar_d = (dn - pa_d) * inv_after
+
+        # dL/dalpha (backward.cu:350-405)
+        dl_da = tb * (
+            (q.ic_r - ar_r) * g_r + (q.ic_g - ar_g) * g_g + (q.ic_b - ar_b) * g_b
+            + (q.i_d - ar_d) * g_d
+        )
+        bg_den = jnp.where(a_eff < 1.0, 1.0 - a_eff, 1.0)
+        bg_fac = jnp.where(a_eff < 1.0, -t_fin / bg_den, -pt_fin)
+        dl_da = (dl_da + bg_fac * bg_dot) * ok
+
+        op = _col(buf, REC_OP)
+        intense = _col(buf, REC_IN)
+        dl_dop = dl_da * q.ratio
+        dl_dic_r = g_r * w
+        dl_dic_g = g_g * w
+        dl_dic_b = g_b * w
+        dl_did = g_d * w
+        dl_dint = (q.m_r * dl_dic_r + q.m_g * dl_dic_g + q.m_b * dl_dic_b) * ok
+
+        i0 = 1.0 - q.uc - q.vc
+        # vertex color grads (backward.cu:439-441), masked by ok via w
+        dvc = []
+        for ik in (i0, q.uc, q.vc):
+            dvc += [ik * dl_dic_r * intense * ok,
+                    ik * dl_dic_g * intense * ok,
+                    ik * dl_dic_b * intense * ok]
+        # vertex depth grads (backward.cu:453-455)
+        dvz = [i0 * dl_did * ok, q.uc * dl_did * ok, q.vc * dl_did * ok]
+
+        # barycentric chain (backward.cu:457-475)
+        dl_di0 = (_col(buf, REC_C + 0) * dl_dic_r + _col(buf, REC_C + 1) * dl_dic_g
+                  + _col(buf, REC_C + 2) * dl_dic_b) * intense + _col(buf, REC_Z + 0) * dl_did
+        dl_di1 = (_col(buf, REC_C + 3) * dl_dic_r + _col(buf, REC_C + 4) * dl_dic_g
+                  + _col(buf, REC_C + 5) * dl_dic_b) * intense + _col(buf, REC_Z + 1) * dl_did
+        dl_di2 = (_col(buf, REC_C + 6) * dl_dic_r + _col(buf, REC_C + 7) * dl_dic_g
+                  + _col(buf, REC_C + 8) * dl_dic_b) * intense + _col(buf, REC_Z + 2) * dl_did
+
+        duc_du, duc_dv, dvc_du, dvc_dv = clamp_bary_uv_grad(q.code)
+        dl_duc = dl_di1 - dl_di0
+        dl_dvc = dl_di2 - dl_di0
+        dl_du = dl_duc * duc_du + dl_dvc * dvc_du
+        dl_dv = dl_duc * duc_dv + dl_dvc * dvc_dv
+
+        # Moller-Trumbore uv Jacobians on coordinate planes (auxiliary.h:245-290)
+        v0x, v0y, v0z = _col(buf, REC_V + 0), _col(buf, REC_V + 1), _col(buf, REC_V + 2)
+        v1x, v1y, v1z = _col(buf, REC_V + 3), _col(buf, REC_V + 4), _col(buf, REC_V + 5)
+        v2x, v2y, v2z = _col(buf, REC_V + 6), _col(buf, REC_V + 7), _col(buf, REC_V + 8)
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        t0x, t0y, t0z = ox - v0x, oy - v0y, oz - v0z
+
+        rxe2x = rdy * e2z - rdz * e2y
+        rxe2y = rdz * e2x - rdx * e2z
+        rxe2z = rdx * e2y - rdy * e2x
+        den_s = rxe2x * e1x + rxe2y * e1y + rxe2z * e1z
+        den2 = den_s * den_s
+        inv_den = jnp.where(den2 > 0.0, 1.0 / jnp.where(den2 > 0.0, den2, 1.0), 0.0)
+
+        v0s = rxe2x * t0x + rxe2y * t0y + rxe2z * t0z
+        # qvec = cross(t0, e1): pixel-independent (C, 1)
+        qvx = t0y * e1z - t0z * e1y
+        qvy = t0z * e1x - t0x * e1z
+        qvz = t0x * e1y - t0y * e1x
+        v2s = qvx * e2x + qvy * e2y + qvz * e2z
+
+        # cross(t0, d), cross(e1, d), cross(e2, t0), cross(e1, e2)
+        txdx = t0y * rdz - t0z * rdy
+        txdy = t0z * rdx - t0x * rdz
+        txdz = t0x * rdy - t0y * rdx
+        e1dx = e1y * rdz - e1z * rdy
+        e1dy = e1z * rdx - e1x * rdz
+        e1dz = e1x * rdy - e1y * rdx
+        e2t0x = e2y * t0z - e2z * t0y
+        e2t0y = e2z * t0x - e2x * t0z
+        e2t0z = e2x * t0y - e2y * t0x
+        e12x = e1y * e2z - e1z * e2y
+        e12y = e1z * e2x - e1x * e2z
+        e12z = e1x * e2y - e1y * e2x
+
+        du_de1x = -rxe2x * v0s * inv_den
+        du_de1y = -rxe2y * v0s * inv_den
+        du_de1z = -rxe2z * v0s * inv_den
+        du_de2x = (txdx * den_s - v0s * e1dx) * inv_den
+        du_de2y = (txdy * den_s - v0s * e1dy) * inv_den
+        du_de2z = (txdz * den_s - v0s * e1dz) * inv_den
+        du_dtx = rxe2x * den_s * inv_den
+        du_dty = rxe2y * den_s * inv_den
+        du_dtz = rxe2z * den_s * inv_den
+
+        # v = dot(qvec, d)/den_s (NOT the reference's mislabeled t-gradient;
+        # see geometry.ray_tri_intersection_uv_grad)
+        vns = qvx * rdx + qvy * rdy + qvz * rdz
+        dv_de1x = (-txdx * den_s - vns * rxe2x) * inv_den
+        dv_de1y = (-txdy * den_s - vns * rxe2y) * inv_den
+        dv_de1z = (-txdz * den_s - vns * rxe2z) * inv_den
+        dv_de2x = -vns * e1dx * inv_den
+        dv_de2y = -vns * e1dy * inv_den
+        dv_de2z = -vns * e1dz * inv_den
+        dv_dtx = e1dx * den_s * inv_den
+        dv_dty = e1dy * den_s * inv_den
+        dv_dtz = e1dz * den_s * inv_den
+
+        duv = dl_du * ok
+        dvv = dl_dv * ok
+        dp1x = duv * du_de1x + dvv * dv_de1x
+        dp1y = duv * du_de1y + dvv * dv_de1y
+        dp1z = duv * du_de1z + dvv * dv_de1z
+        dp2x = duv * du_de2x + dvv * dv_de2x
+        dp2y = duv * du_de2y + dvv * dv_de2y
+        dp2z = duv * du_de2z + dvv * dv_de2z
+        # dp0 = -de1 - de2 - dt  (dT/dp0 = -1)
+        dp0x = -dp1x - dp2x - (duv * du_dtx + dvv * dv_dtx)
+        dp0y = -dp1y - dp2y - (duv * du_dty + dvv * dv_dty)
+        dp0z = -dp1z - dp2z - (duv * du_dtz + dvv * dv_dtz)
+
+        # AA vertex grads via the shape derivative (replaces the oarea ring
+        # buffer path, backward.cu:241-284, 407-415).
+        if aa_temperature > 0.0:
+            dl_doarea = dl_da * op * aa_temperature
+            ax0, ay0 = _col(buf, REC_AA + 0), _col(buf, REC_AA + 1)
+            ax1, ay1 = _col(buf, REC_AA + 2), _col(buf, REC_AA + 3)
+            ax2, ay2 = _col(buf, REC_AA + 4), _col(buf, REC_AA + 5)
+            ga = tri_box_overlap_grad_xy(
+                ax0, ay0, ax1, ay1, ax2, ay2, px0, px0 + 1.0, py0, py0 + 1.0
+            )
+            daa = [dl_doarea * g for g in ga]
+        else:
+            daa = [jnp.zeros_like(dl_da)] * 6
+
+        def red(x):
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        rec = jnp.concatenate(
+            [
+                red(dp0x), red(dp0y), red(dp0z),
+                red(dp1x), red(dp1y), red(dp1z),
+                red(dp2x), red(dp2y), red(dp2z),
+            ]
+            + [red(x) for x in dvc]
+            + [red(x) for x in dvz]
+            + [red(dl_dop), red(dl_dint)]
+            + [red(x) for x in daa]
+            + [jnp.zeros((chunk, GRAD_RECORD_WIDTH - 29), jnp.float32)],
+            axis=1,
+        )
+        grad_ref[:, :] = rec
+        out_copy = pltpu.make_async_copy(
+            grad_ref, gout_ref.at[pl.ds(start + i * chunk, chunk), :], sem_out
+        )
+        out_copy.start()
+        out_copy.wait()
+        return t_run, p_r, p_g, p_b, p_d
+
+    zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
+    ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
+    jax.lax.fori_loop(0, nchunks, chunk_body, (ones, zeros, zeros, zeros, zeros))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patch_width", "patch_height", "aa_temperature", "chunk", "interpret"),
+)
+def composite_backward(
+    face_stream,   # (R, 32)
+    tile_starts,   # (T_total,)
+    tile_counts,   # (T_total,)
+    ray_o_cam,     # (B, 3)
+    ray_d,         # (B, H, W, 3)
+    background,    # (3,)
+    patch_min,     # (B, 2)
+    # forward outputs / residuals
+    out_color,     # (B, H, W, 3)
+    out_depth,     # (B, H, W)
+    final_t,       # (B, H, W)
+    prev_t,        # (B, H, W)
+    # incoming gradients
+    g_color,       # (B, H, W, 3)
+    g_depth,       # (B, H, W)
+    patch_width: int,
+    patch_height: int,
+    aa_temperature: float,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Per-entry gradient records (R, 32) in face-stream layout."""
+    b, h, w, _ = ray_d.shape
+    gx = -(-patch_width // TILE_X)
+    gy = -(-patch_height // TILE_Y)
+    t_total = b * gx * gy
+    r = face_stream.shape[0]
+
+    stream = jnp.concatenate(
+        [face_stream, jnp.zeros((chunk, FACE_RECORD_WIDTH), face_stream.dtype)], axis=0
+    )
+    from dmesh2_renderer_tpu.ops.pallas_fwd import tile_rays
+
+    ray_d_t = tile_rays(ray_d, gx, gy)
+    gin_t = tile_pack(
+        [g_color[..., 0], g_color[..., 1], g_color[..., 2], g_depth], gx, gy
+    )
+    cn = out_color - final_t[..., None] * background[None, None, None, :]
+    dnm = out_depth - final_t
+    res_t = tile_pack(
+        [cn[..., 0], cn[..., 1], cn[..., 2], dnm, final_t, prev_t], gx, gy, rows=8
+    )
+    ray_o4 = jnp.concatenate([ray_o_cam, jnp.zeros((b, 1), ray_o_cam.dtype)], axis=1)
+    bg4 = jnp.concatenate([background, jnp.zeros((1,), background.dtype)])[None, :]
+    pm_flat = patch_min.reshape(-1).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _bwd_kernel, grid_x=gx, grid_y=gy, chunk=chunk, aa_temperature=aa_temperature
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),                     # stream
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # ray_o
+            pl.BlockSpec((1, 4, TILE_PIXELS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                    # ray_d
+            pl.BlockSpec((1, 4, TILE_PIXELS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                    # gin
+            pl.BlockSpec((1, 8, TILE_PIXELS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                    # residuals
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # bg
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, FACE_RECORD_WIDTH), jnp.float32),
+            pltpu.VMEM((chunk, GRAD_RECORD_WIDTH), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    gout = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r + chunk, GRAD_RECORD_WIDTH), jnp.float32),
+        interpret=interpret,
+    )(tile_starts, tile_counts, pm_flat, stream, ray_o4, ray_d_t, gin_t, res_t, bg4)
+    return gout[:r]
+
+
+def scatter_entry_grads(
+    grad_records,  # (R, 32) per-entry gradient records
+    entry_bf,      # (R,) int32 (sentinel = B*F)
+    faces,         # (F, 3) int32
+    n_verts: int,
+    n_batch: int,
+):
+    """Deterministic segment-sum scatter of per-entry grads to input tensors.
+
+    The TPU replacement for the CUDA atomicAdd aggregation
+    (backward.cu:495-529): XLA scatter-add is deterministic on TPU, so
+    gradients are bitwise reproducible run to run.
+
+    Returns (d_verts (P,3), d_verts_color (P,3), d_faces_opacity (F,),
+    d_verts_ndc_z (B,P), d_faces_intense (B,F), d_aa_face_verts (B,F,3,2)).
+    """
+    f = faces.shape[0]
+    bf = n_batch * f
+    valid = entry_bf < bf
+    rec = jnp.where(valid[:, None], grad_records, 0.0)
+    safe = jnp.minimum(entry_bf, bf - 1)
+    bi = safe // f
+    fi = safe - bi * f
+    vids = faces[fi]  # (R, 3)
+
+    d_verts = jnp.zeros((n_verts, 3), rec.dtype)
+    d_vcolor = jnp.zeros((n_verts, 3), rec.dtype)
+    d_vndc_z = jnp.zeros((n_batch, n_verts), rec.dtype)
+    for k in range(3):
+        d_verts = d_verts.at[vids[:, k]].add(rec[:, REC_V + 3 * k:REC_V + 3 * k + 3])
+        d_vcolor = d_vcolor.at[vids[:, k]].add(rec[:, REC_C + 3 * k:REC_C + 3 * k + 3])
+        d_vndc_z = d_vndc_z.at[bi, vids[:, k]].add(rec[:, REC_Z + k])
+    d_op = jnp.zeros((f,), rec.dtype).at[fi].add(rec[:, REC_OP])
+    d_int = jnp.zeros((n_batch, f), rec.dtype).at[bi, fi].add(rec[:, REC_IN])
+    d_aa = jnp.zeros((n_batch, f, 6), rec.dtype).at[bi, fi].add(rec[:, REC_AA:REC_AA + 6])
+    return d_verts, d_vcolor, d_op, d_vndc_z, d_int, d_aa.reshape(n_batch, f, 3, 2)

@@ -1,0 +1,393 @@
+"""Pallas forward compositing kernel (the hot loop of the renderer).
+
+TPU-native counterpart of the CUDA tile compositor ``renderCUDA<3>``
+(``cuda_impl/forward.cu:139-432``). Design mapping:
+
+  CUDA                                  TPU (this kernel)
+  ------------------------------------  -----------------------------------
+  one 16x16 thread block per tile       one grid program per tile; the 256
+                                        pixels ride the 256-lane axis of
+                                        (1, 256) vectors
+  shared-memory staging of 256 faces    chunked async DMA of pre-gathered
+  (forward.cu:228-304)                  (C, 32) face records HBM -> VMEM
+  per-thread sequential blend loop      per-chunk vectorized (C, 256) alpha /
+                                        color evaluation + a C-step carried
+                                        blend scan
+  __syncthreads_count early exit        whole-chunk skip: the chunk while-loop
+  (forward.cu:258)                      stops when every lane has T < 1e-4
+  data-dependent list length            scalar-prefetched (start, count) per
+  (ranges, renderer.cu:223)             tile; dynamic-trip-count while loop
+
+Outputs are packed tile-major as (T_total, 8, 256) f32 rows
+[r, g, b, depth, final_T, final_prev_T, n_contrib, pad] so that every store
+is a full aligned vector row; the XLA wrapper untiles to (B, H, W, .).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dmesh2_renderer_tpu.aa import tri_box_overlap_area_xy
+from dmesh2_renderer_tpu.geometry import clamp_bary_uv
+from dmesh2_renderer_tpu.utils.config import (
+    FACE_RECORD_WIDTH,
+    T_EPS,
+    TILE_PIXELS,
+    TILE_X,
+    TILE_Y,
+)
+from dmesh2_renderer_tpu.ops.binning import REC_AA, REC_C, REC_IN, REC_OP, REC_V, REC_Z
+
+# Output row indices in the packed (8, 256) tile result.
+OUT_R, OUT_G, OUT_B, OUT_D, OUT_T, OUT_PT, OUT_NC = range(7)
+
+
+def _col(buf, idx):
+    """(C, 1) column of the face-record chunk."""
+    return buf[:, idx][:, None]
+
+
+class ChunkQuantities(NamedTuple):
+    """Per-(face, pixel) blending quantities for one face chunk.
+
+    All arrays are (C, N) f32 unless noted. Unused fields are dead-code
+    eliminated by XLA, so the forward kernel pays nothing for the extras the
+    backward kernel needs.
+    """
+
+    passes: jnp.ndarray    # 1.0 where the face passes every skip test
+    alpha: jnp.ndarray     # opacity * coverage ratio (already masked)
+    ratio: jnp.ndarray     # coverage ratio (AA-temperature mix)
+    oarea: jnp.ndarray     # raw AA overlap area (0 when tau == 0)
+    code: jnp.ndarray      # int32 barycentric clamp region code
+    uc: jnp.ndarray        # clamped barycentrics
+    vc: jnp.ndarray
+    ic_r: jnp.ndarray      # interpolated color * intensity
+    ic_g: jnp.ndarray
+    ic_b: jnp.ndarray
+    m_r: jnp.ndarray       # interpolated color without intensity
+    m_g: jnp.ndarray
+    m_b: jnp.ndarray
+    i_d: jnp.ndarray       # interpolated NDC depth
+
+
+def chunk_face_quantities(buf, n_valid, rdx, rdy, rdz, ox, oy, oz,
+                          px0, py0, aa_temperature) -> ChunkQuantities:
+    """Vectorized per-(face, pixel) blending quantities for one chunk.
+
+    Args:
+      buf: (C, 32) face records.
+      n_valid: scalar count of valid rows in this chunk.
+      rdx, rdy, rdz: (1, N) ray directions.
+      ox, oy, oz: scalar ray origin (camera position for this batch).
+      px0, py0: (1, N) pixel box min corner in image coordinates.
+      aa_temperature: static python float.
+
+    ``passes`` is 1.0 on faces that pass every skip test of forward.cu
+    (AA area, MT validity, bbox, nonzero coverage) and 0.0 otherwise.
+    """
+    c = buf.shape[0]
+    dt = buf.dtype
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    in_range = (row < n_valid).astype(dt)
+
+    v0x, v0y, v0z = _col(buf, REC_V + 0), _col(buf, REC_V + 1), _col(buf, REC_V + 2)
+    v1x, v1y, v1z = _col(buf, REC_V + 3), _col(buf, REC_V + 4), _col(buf, REC_V + 5)
+    v2x, v2y, v2z = _col(buf, REC_V + 6), _col(buf, REC_V + 7), _col(buf, REC_V + 8)
+
+    # Moller-Trumbore (auxiliary.h:212-243). qvec is pixel-independent.
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    t0x, t0y, t0z = ox - v0x, oy - v0y, oz - v0z
+    pvx = rdy * e2z - rdz * e2y
+    pvy = rdz * e2x - rdx * e2z
+    pvz = rdx * e2y - rdy * e2x
+    qvx = t0y * e1z - t0z * e1y
+    qvy = t0z * e1x - t0x * e1z
+    qvz = t0x * e1y - t0y * e1x
+    denom = pvx * e1x + pvy * e1y + pvz * e1z
+    mt_ok = denom != 0.0
+    inv = 1.0 / jnp.where(mt_ok, denom, 1.0)
+    u = (pvx * t0x + pvy * t0y + pvz * t0z) * inv
+    v = (qvx * rdx + qvy * rdy + qvz * rdz) * inv
+
+    uc, vc, code = clamp_bary_uv(u, v)
+    inside = (code == 0).astype(dt)
+
+    # Per-pixel face-bbox rejection (see ops/reference.py for rationale:
+    # matches aa.h:476 and prunes backward-ray phantom hits).
+    ax0, ay0 = _col(buf, REC_AA + 0), _col(buf, REC_AA + 1)
+    ax1, ay1 = _col(buf, REC_AA + 2), _col(buf, REC_AA + 3)
+    ax2, ay2 = _col(buf, REC_AA + 4), _col(buf, REC_AA + 5)
+    txmin = jnp.minimum(jnp.minimum(ax0, ax1), ax2)
+    txmax = jnp.maximum(jnp.maximum(ax0, ax1), ax2)
+    tymin = jnp.minimum(jnp.minimum(ay0, ay1), ay2)
+    tymax = jnp.maximum(jnp.maximum(ay0, ay1), ay2)
+    bbox_ok = (
+        (px0 + 1.0 >= txmin) & (px0 <= txmax)
+        & (py0 + 1.0 >= tymin) & (py0 <= tymax)
+    )
+
+    if aa_temperature > 0.0:
+        oarea = tri_box_overlap_area_xy(
+            ax0, ay0, ax1, ay1, ax2, ay2, px0, px0 + 1.0, py0, py0 + 1.0
+        )
+        aa_ok = oarea > 0.0
+        ratio = (1.0 - aa_temperature) * inside + aa_temperature * oarea
+    else:
+        aa_ok = jnp.ones_like(u, dtype=bool)
+        ratio = inside
+
+    passes = (
+        in_range
+        * mt_ok.astype(dt)
+        * aa_ok.astype(dt)
+        * bbox_ok.astype(dt)
+        * (ratio != 0.0).astype(dt)
+    )
+
+    i0 = 1.0 - uc - vc
+    intense = _col(buf, REC_IN)
+    m_r = i0 * _col(buf, REC_C + 0) + uc * _col(buf, REC_C + 3) + vc * _col(buf, REC_C + 6)
+    m_g = i0 * _col(buf, REC_C + 1) + uc * _col(buf, REC_C + 4) + vc * _col(buf, REC_C + 7)
+    m_b = i0 * _col(buf, REC_C + 2) + uc * _col(buf, REC_C + 5) + vc * _col(buf, REC_C + 8)
+    i_d = i0 * _col(buf, REC_Z + 0) + uc * _col(buf, REC_Z + 1) + vc * _col(buf, REC_Z + 2)
+
+    alpha = _col(buf, REC_OP) * ratio * passes
+    if aa_temperature <= 0.0:
+        oarea = jnp.zeros_like(ratio)
+    return ChunkQuantities(
+        passes=passes, alpha=alpha, ratio=ratio, oarea=oarea, code=code,
+        uc=uc, vc=vc,
+        ic_r=m_r * intense, ic_g=m_g * intense, ic_b=m_b * intense,
+        m_r=m_r, m_g=m_g, m_b=m_b, i_d=i_d,
+    )
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    starts_ref, counts_ref, pm_ref,
+    # inputs
+    stream_ref,   # (R + C, 32) ANY/HBM
+    ray_o_ref,    # (B, 4) VMEM
+    ray_d_ref,    # (1, 4, 256) VMEM block for this tile
+    bg_ref,       # (1, 4) VMEM
+    # outputs
+    out_ref,      # (1, 8, 256) VMEM block
+    # scratch
+    buf_ref,      # (C, 32) VMEM
+    sem,          # DMA semaphore
+    *,
+    grid_x: int,
+    grid_y: int,
+    chunk: int,
+    aa_temperature: float,
+):
+    t = pl.program_id(0)
+    tiles_per_batch = grid_x * grid_y
+    b = t // tiles_per_batch
+    rem = t - b * tiles_per_batch
+    ty = rem // grid_x
+    tx = rem - ty * grid_x
+
+    start = starts_ref[t]
+    count = counts_ref[t]
+
+    # Pixel box min corners in image coordinates (forward.cu:319-323).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
+    xx = lane % TILE_X
+    yy = lane // TILE_X
+    px0 = (pm_ref[2 * b] + tx * TILE_X + xx).astype(jnp.float32)
+    py0 = (pm_ref[2 * b + 1] + ty * TILE_Y + yy).astype(jnp.float32)
+
+    rdx = ray_d_ref[0, 0:1, :]
+    rdy = ray_d_ref[0, 1:2, :]
+    rdz = ray_d_ref[0, 2:3, :]
+    ox = ray_o_ref[b, 0]
+    oy = ray_o_ref[b, 1]
+    oz = ray_o_ref[b, 2]
+
+    nchunks = pl.cdiv(count, chunk)
+
+    def chunk_body(state):
+        i, t_run, pt_run, cr, cg, cb, cd, nc = state
+        copy = pltpu.make_async_copy(
+            stream_ref.at[pl.ds(start + i * chunk, chunk), :],
+            buf_ref,
+            sem,
+        )
+        copy.start()
+        copy.wait()
+        n_valid = count - i * chunk
+
+        q = chunk_face_quantities(
+            buf_ref[:, :], n_valid, rdx, rdy, rdz, ox, oy, oz,
+            px0, py0, aa_temperature,
+        )
+        passes, alpha, ic_r, ic_g, ic_b, i_d = (
+            q.passes, q.alpha, q.ic_r, q.ic_g, q.ic_b, q.i_d
+        )
+
+        def blend(j, s):
+            t_run, pt_run, cr, cg, cb, cd, nc = s
+            p = jax.lax.dynamic_slice(passes, (j, 0), (1, TILE_PIXELS))
+            a = jax.lax.dynamic_slice(alpha, (j, 0), (1, TILE_PIXELS))
+            ok = p * (t_run >= T_EPS).astype(p.dtype)
+            a_eff = a * ok
+            w = a_eff * t_run
+            cr = cr + jax.lax.dynamic_slice(ic_r, (j, 0), (1, TILE_PIXELS)) * w
+            cg = cg + jax.lax.dynamic_slice(ic_g, (j, 0), (1, TILE_PIXELS)) * w
+            cb = cb + jax.lax.dynamic_slice(ic_b, (j, 0), (1, TILE_PIXELS)) * w
+            cd = cd + jax.lax.dynamic_slice(i_d, (j, 0), (1, TILE_PIXELS)) * w
+            blended = ok > 0.0
+            pt_run = jnp.where(blended, t_run, pt_run)
+            nc = jnp.where(blended, (i * chunk + j + 1).astype(nc.dtype), nc)
+            t_run = t_run * (1.0 - a_eff)
+            return t_run, pt_run, cr, cg, cb, cd, nc
+
+        t_run, pt_run, cr, cg, cb, cd, nc = jax.lax.fori_loop(
+            0, chunk, blend, (t_run, pt_run, cr, cg, cb, cd, nc)
+        )
+        return i + 1, t_run, pt_run, cr, cg, cb, cd, nc
+
+    def chunk_cond(state):
+        i, t_run = state[0], state[1]
+        return (i < nchunks) & jnp.any(t_run >= T_EPS)
+
+    zeros = jnp.zeros((1, TILE_PIXELS), dtype=jnp.float32)
+    ones = jnp.ones((1, TILE_PIXELS), dtype=jnp.float32)
+    _, t_run, pt_run, cr, cg, cb, cd, nc = jax.lax.while_loop(
+        chunk_cond, chunk_body, (0, ones, ones, zeros, zeros, zeros, zeros, zeros)
+    )
+
+    # Background composite (forward.cu:427-428).
+    out_ref[0, :, :] = jnp.concatenate(
+        [
+            cr + t_run * bg_ref[0, 0],
+            cg + t_run * bg_ref[0, 1],
+            cb + t_run * bg_ref[0, 2],
+            cd + t_run * 1.0,
+            t_run,
+            pt_run,
+            nc,
+            zeros,
+        ],
+        axis=0,
+    )
+
+
+def tile_pack(planes, grid_x, grid_y, rows=None):
+    """Pack per-pixel planes tile-major: [(B, H, W)] -> (B*gy*gx, k, 256).
+
+    Lane l of tile (b, ty, tx) is pixel (ty*16 + l//16, tx*16 + l%16); pads
+    the image up to the tile grid and the row count up to ``rows``.
+    """
+    b, h, w = planes[0].shape
+    hp, wp = grid_y * TILE_Y, grid_x * TILE_X
+    stack = jnp.stack(planes, axis=-1)  # (B, H, W, k)
+    k = stack.shape[-1]
+    pad = jnp.zeros((b, hp, wp, k), stack.dtype).at[:, :h, :w, :].set(stack)
+    tiled = pad.reshape(b, grid_y, TILE_Y, grid_x, TILE_X, k)
+    tiled = tiled.transpose(0, 1, 3, 5, 2, 4).reshape(b * grid_y * grid_x, k, TILE_PIXELS)
+    if rows is not None and rows > k:
+        padrow = jnp.zeros((tiled.shape[0], rows - k, TILE_PIXELS), stack.dtype)
+        tiled = jnp.concatenate([tiled, padrow], axis=1)
+    return tiled
+
+
+def tile_rays(ray_d, grid_x, grid_y):
+    """(B, H, W, 3) -> (B*gy*gx, 4, 256) tile-major ray directions."""
+    return tile_pack(
+        [ray_d[..., 0], ray_d[..., 1], ray_d[..., 2]], grid_x, grid_y, rows=4
+    )
+
+
+def untile(packed_rows, b, h, w, grid_x, grid_y):
+    """(T_total, 256) tile-major rows -> (B, H, W)."""
+    x = packed_rows.reshape(b, grid_y, grid_x, TILE_Y, TILE_X)
+    x = x.transpose(0, 1, 3, 2, 4).reshape(b, grid_y * TILE_Y, grid_x * TILE_X)
+    return x[:, :h, :w]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patch_width", "patch_height", "aa_temperature", "chunk", "interpret"),
+)
+def composite_forward(
+    face_stream,   # (R, 32)
+    tile_starts,   # (T_total,)
+    tile_counts,   # (T_total,)
+    ray_o_cam,     # (B, 3) camera origins
+    ray_d,         # (B, H, W, 3)
+    background,    # (3,)
+    patch_min,     # (B, 2) int32
+    patch_width: int,
+    patch_height: int,
+    aa_temperature: float,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Run the forward compositor. Returns (color, depth, final_T, prev_T,
+    n_contrib) shaped (B, H, W[, 3])."""
+    b, h, w, _ = ray_d.shape
+    gx = -(-patch_width // TILE_X)
+    gy = -(-patch_height // TILE_Y)
+    t_total = b * gx * gy
+
+    # Pad the stream so any in-range chunk DMA is in bounds.
+    stream = jnp.concatenate(
+        [face_stream, jnp.zeros((chunk, FACE_RECORD_WIDTH), face_stream.dtype)], axis=0
+    )
+    ray_d_t = tile_rays(ray_d, gx, gy)
+    ray_o4 = jnp.concatenate([ray_o_cam, jnp.zeros((b, 1), ray_o_cam.dtype)], axis=1)
+    bg4 = jnp.concatenate([background, jnp.zeros((1,), background.dtype)])[None, :]
+    pm_flat = patch_min.reshape(-1).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        grid_x=gx,
+        grid_y=gy,
+        chunk=chunk,
+        aa_temperature=aa_temperature,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),                       # stream
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # ray_o
+            pl.BlockSpec((1, 4, TILE_PIXELS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                      # ray_d tiles
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # bg
+        ],
+        out_specs=pl.BlockSpec((1, 8, TILE_PIXELS), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, FACE_RECORD_WIDTH), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_total, 8, TILE_PIXELS), jnp.float32),
+        interpret=interpret,
+    )(tile_starts, tile_counts, pm_flat, stream, ray_o4, ray_d_t, bg4)
+
+    color = jnp.stack(
+        [untile(out[:, ch, :], b, h, w, gx, gy) for ch in (OUT_R, OUT_G, OUT_B)],
+        axis=-1,
+    )
+    depth = untile(out[:, OUT_D, :], b, h, w, gx, gy)
+    final_t = untile(out[:, OUT_T, :], b, h, w, gx, gy)
+    prev_t = untile(out[:, OUT_PT, :], b, h, w, gx, gy)
+    n_contrib = untile(out[:, OUT_NC, :], b, h, w, gx, gy).astype(jnp.int32)
+    return color, depth, final_t, prev_t, n_contrib

@@ -1,0 +1,152 @@
+"""The differentiable rasterization op: binning + Pallas kernels + custom_vjp.
+
+This is the TPU equivalent of the reference's autograd boundary
+(``RenderFunction``, ``dmesh2_renderer/__init__.py:11-177``): a
+``jax.custom_vjp`` around the full rasterize step whose backward runs the
+analytic gradient kernel and a deterministic segment-sum scatter.
+
+Differences from the reference boundary, by design:
+
+  * No oarea ring buffer ("aa_grad_buffer_size"): the closed-form AA
+    clip is cheap enough to rematerialize, so backward always recomputes it
+    -- equivalent to the reference's buffer-overflow path
+    (backward.cu:276-284) being taken for every face, with bitwise-identical
+    results and no (B, H, W, K, 3, 2) residual tensor.
+  * Residuals are the sorted entry list + per-pixel (final_T, prev_T) --
+    the analogue of ctx.save_for_backward (__init__.py:85-116) minus the
+    raw byte arenas, which static shapes make unnecessary.
+  * Binning overflow is reported (num_rendered vs capacity) instead of
+    silently resized; callers pick capacity (see utils/config.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dmesh2_renderer_tpu.ops import reference as ref_ops
+from dmesh2_renderer_tpu.ops.binning import bin_faces, pack_face_stream
+from dmesh2_renderer_tpu.ops.pallas_bwd import composite_backward, scatter_entry_grads
+from dmesh2_renderer_tpu.ops.pallas_fwd import composite_forward
+from dmesh2_renderer_tpu.utils.config import RasterConfig
+
+
+class RasterAux(NamedTuple):
+    num_rendered: jnp.ndarray   # () int32: true duplicated-instance count
+    num_truncated: jnp.ndarray  # () int32: entries dropped by capacity/Kt
+
+
+@functools.lru_cache(maxsize=32)
+def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
+                    config: RasterConfig):
+    """Build the jit-compatible custom_vjp rasterize op for a static config.
+
+    The returned function has signature
+
+        rasterize(verts, verts_color, faces_opacity, verts_ndc,
+                  faces_intense, aa_face_verts,
+                  faces, background, patch_min, ray_o_cam, ray_d)
+        -> (color, depth_raw, RasterAux)
+
+    with gradients defined for the first six arguments, matching the six
+    kernel gradients of the reference (render.cu:313-318, 372).
+    """
+    tau = float(aa_temperature)
+
+    def _pipeline(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
+                  aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d):
+        depth01, _, _, alive = ref_ops.face_depth01(verts_ndc, faces)
+        binning = bin_faces(
+            aa_face_verts, depth01, alive, patch_min, patch_width, patch_height,
+            config.binning_capacity, config.max_tiles_per_face,
+        )
+        stream = pack_face_stream(
+            binning.entry_bf, verts, faces, verts_color, faces_opacity,
+            verts_ndc, faces_intense, aa_face_verts,
+        )
+        return binning, stream
+
+    def rasterize_fwd_impl(verts, verts_color, faces_opacity, verts_ndc,
+                           faces_intense, aa_face_verts, faces, background,
+                           patch_min, ray_o_cam, ray_d):
+        if not config.use_pallas:
+            color, depth, _aux = ref_ops.render_reference(
+                verts, faces, verts_color, faces_opacity, verts_ndc,
+                faces_intense, aa_face_verts, background, patch_min,
+                jnp.broadcast_to(ray_o_cam[:, None, None, :], ray_d.shape), ray_d, tau,
+            )
+            zero = jnp.zeros((), jnp.int32)
+            return (color, depth, RasterAux(zero, zero)), None
+        binning, stream = _pipeline(
+            verts, verts_color, faces_opacity, verts_ndc, faces_intense,
+            aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
+        )
+        color, depth, final_t, prev_t, _ = composite_forward(
+            stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
+            background, patch_min, patch_width, patch_height, tau,
+            chunk=config.face_chunk, interpret=config.interpret,
+        )
+        aux = RasterAux(binning.num_rendered, binning.num_truncated)
+        residuals = (stream, binning.entry_bf, binning.tile_starts,
+                     binning.tile_counts, color, depth, final_t, prev_t)
+        return (color, depth, aux), residuals
+
+    @jax.custom_vjp
+    def rasterize(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
+                  aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d):
+        out, _ = rasterize_fwd_impl(
+            verts, verts_color, faces_opacity, verts_ndc, faces_intense,
+            aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
+        )
+        return out
+
+    def fwd(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
+            aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d):
+        out, residuals = rasterize_fwd_impl(
+            verts, verts_color, faces_opacity, verts_ndc, faces_intense,
+            aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
+        )
+        saved = (residuals, verts, verts_color, faces_opacity, verts_ndc,
+                 faces_intense, aa_face_verts, faces, background, patch_min,
+                 ray_o_cam, ray_d)
+        return out, saved
+
+    def bwd(saved, cotangents):
+        g_color, g_depth, _ = cotangents
+        (residuals, verts, verts_color, faces_opacity, verts_ndc,
+         faces_intense, aa_face_verts, faces, background, patch_min,
+         ray_o_cam, ray_d) = saved
+
+        if not config.use_pallas:
+            def f(v, c, o, nz, it, aa):
+                color, depth, _aux = ref_ops.render_reference(
+                    v, faces, c, o, nz, it, aa, background, patch_min,
+                    jnp.broadcast_to(ray_o_cam[:, None, None, :], ray_d.shape),
+                    ray_d, tau,
+                )
+                return color, depth
+
+            _, vjp = jax.vjp(f, verts, verts_color, faces_opacity, verts_ndc,
+                             faces_intense, aa_face_verts)
+            d6 = vjp((g_color, g_depth))
+            return (*d6, None, None, None, None, None)
+
+        (stream, entry_bf, starts, counts, color, depth, final_t, prev_t) = residuals
+        grad_records = composite_backward(
+            stream, starts, counts, ray_o_cam, ray_d, background, patch_min,
+            color, depth, final_t, prev_t, g_color, g_depth,
+            patch_width, patch_height, tau,
+            chunk=config.face_chunk, interpret=config.interpret,
+        )
+        d_verts, d_vcolor, d_op, d_vndc_z, d_int, d_aa = scatter_entry_grads(
+            grad_records, entry_bf, faces, verts.shape[0], verts_ndc.shape[0]
+        )
+        d_vndc = jnp.zeros_like(verts_ndc).at[..., 2].set(d_vndc_z)
+        return (d_verts, d_vcolor, d_op, d_vndc, d_int, d_aa,
+                None, None, None, None, None)
+
+    rasterize.defvjp(fwd, bwd)
+    return rasterize

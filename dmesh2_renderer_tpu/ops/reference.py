@@ -121,6 +121,22 @@ def render_reference(
             oarea = jnp.zeros((b, h, w), dtype=ray_d.dtype)
             aa_skip = jnp.zeros((b, h, w), dtype=bool)
 
+        # Per-pixel face-bbox rejection. The CUDA reference prunes faces at
+        # tile granularity (binning, renderer.cu:452-464) plus a per-pixel
+        # bbox reject inside the AA clip (aa.h:476). We apply the bbox test
+        # per pixel in all code paths: it never rejects a true contribution
+        # (coverage > 0 or an in-frustum hit implies bbox overlap) and prunes
+        # the backward-ray (t < 0) phantom hits that Moller-Trumbore admits
+        # (the reference never checks tuv.x in this kernel, forward.cu:360).
+        txmin = aa6[..., 0].min(axis=-1)[:, None, None]
+        txmax = aa6[..., 0].max(axis=-1)[:, None, None]
+        tymin = aa6[..., 1].min(axis=-1)[:, None, None]
+        tymax = aa6[..., 1].max(axis=-1)[:, None, None]
+        bbox_ok = (
+            (pxmin + 1.0 >= txmin) & (pxmin <= txmax)
+            & (pymin + 1.0 >= tymin) & (pymin <= tymax)
+        )
+
         ti, u, v, mt_ok = ray_tri_intersection(
             ray_o, ray_d,
             p3[:, None, None, 0], p3[:, None, None, 1], p3[:, None, None, 2],
@@ -142,6 +158,7 @@ def render_reference(
         blend = (
             ok[:, None, None]
             & mt_ok
+            & bbox_ok
             & (ratio != 0.0)
             & ~aa_skip
             & (t >= T_EPS)

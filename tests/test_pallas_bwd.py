@@ -1,0 +1,98 @@
+"""Analytic backward kernel vs golden JAX-AD gradients of the reference.
+
+The reference compositor is differentiated by JAX AD (the same math the CUDA
+hand-written backward implements); the Pallas backward kernel must reproduce
+those gradients to ~1e-4 (the BASELINE.md north-star tolerance).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmesh2_renderer_tpu import geometry as G
+from dmesh2_renderer_tpu.ops.binning import bin_faces, pack_face_stream
+from dmesh2_renderer_tpu.ops.pallas_bwd import composite_backward, scatter_entry_grads
+from dmesh2_renderer_tpu.ops.pallas_fwd import composite_forward
+from dmesh2_renderer_tpu.ops.reference import face_depth01, render_reference
+from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
+
+
+@functools.lru_cache(maxsize=2)
+def _scene(width=32, height=32, b=2, seed=0):
+    verts_np, faces_np = icosphere(1)
+    # Break the icosphere's lattice symmetry: exact vertex-on-pixel-boundary
+    # configurations are measure-zero subgradient ties where analytic / AD /
+    # FD gradients legitimately differ (the CUDA reference flags these as
+    # error codes E00-E05 and skips the face entirely).
+    jrng = np.random.default_rng(12345)
+    verts_np = verts_np + jrng.normal(scale=1e-3, size=verts_np.shape).astype(np.float32)
+    mv, proj = orbit_cameras(b)
+    verts, faces = jnp.asarray(verts_np), jnp.asarray(faces_np)
+    mvj, projj = jnp.asarray(mv), jnp.asarray(proj)
+    ray_o, ray_d = G.init_rays(mvj, projj, width, height)
+    verts_ndc, verts_image = G.compute_verts_ndc_image(verts, mvj, projj, width, height)
+    tris = G.face_aa_triangles(verts_image, faces)
+    rng = np.random.default_rng(seed)
+    vc = jnp.asarray(rng.uniform(size=(verts.shape[0], 3)).astype(np.float32))
+    fo = jnp.asarray(rng.uniform(0.3, 0.95, size=(faces.shape[0],)).astype(np.float32))
+    fi = jnp.asarray(rng.uniform(0.5, 1.0, size=(b, faces.shape[0])).astype(np.float32))
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    pm = jnp.zeros((b, 2), jnp.int32)
+    gc = jnp.asarray(rng.normal(size=(b, height, width, 3)).astype(np.float32))
+    gd = jnp.asarray(rng.normal(size=(b, height, width)).astype(np.float32))
+    return verts, faces, vc, fo, verts_ndc, fi, tris, bg, pm, ray_o, ray_d, gc, gd
+
+
+@pytest.mark.parametrize("tau", [1.0, 0.0, 0.5])
+def test_backward_matches_autodiff(tau):
+    width = height = 32
+    (verts, faces, vc, fo, verts_ndc, fi, tris, bg, pm, ray_o, ray_d, gc, gd) = _scene()
+
+    def loss(verts_, vc_, fo_, ndc_, fi_, aa_):
+        color, depth, _ = render_reference(
+            verts_, faces, vc_, fo_, ndc_, fi_, aa_, bg, pm, ray_o, ray_d, tau
+        )
+        return jnp.sum(color * gc) + jnp.sum(depth * gd)
+
+    golden = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(
+        verts, vc, fo, verts_ndc, fi, tris.verts
+    )
+
+    depth01, _, _, alive = face_depth01(verts_ndc, faces)
+    binning = bin_faces(tris.verts, depth01, alive, pm, width, height,
+                        capacity=8192, max_tiles_per_face=64)
+    stream = pack_face_stream(binning.entry_bf, verts, faces, vc, fo, verts_ndc, fi, tris.verts)
+    ray_o_cam = ray_o[:, 0, 0, :]
+    color, depth, ft, pt, _ = composite_forward(
+        stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
+        bg, pm, width, height, tau, chunk=32, interpret=True,
+    )
+    grad_records = composite_backward(
+        stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
+        bg, pm, color, depth, ft, pt, gc, gd, width, height, tau,
+        chunk=32, interpret=True,
+    )
+    d_verts, d_vcolor, d_op, d_vndc_z, d_int, d_aa = scatter_entry_grads(
+        grad_records, binning.entry_bf, faces, verts.shape[0], 2
+    )
+
+    g_verts, g_vcolor, g_op, g_ndc, g_int, g_aa = (np.asarray(x) for x in golden)
+
+    def check(name, got, want, atol):
+        got, want = np.asarray(got), np.asarray(want)
+        scale = max(np.abs(want).max(), 1.0)
+        err = np.abs(got - want).max()
+        assert err < atol * scale, f"{name}: max err {err:.3e} (scale {scale:.3e})"
+
+    check("verts_color", d_vcolor, g_vcolor, 2e-5)
+    check("faces_opacity", d_op, g_op, 2e-5)
+    check("faces_intense", d_int, g_int, 2e-5)
+    check("verts_ndc_z", d_vndc_z, g_ndc[..., 2], 2e-5)
+    check("aa_face_verts", d_aa, g_aa, 5e-4)
+    check("verts", d_verts, g_verts, 5e-4)
+    # the (B,P,3) ndc grad is z-only in the kernel path; x/y flow through
+    # aa_face_verts instead (verts_image is not an input here)
+    np.testing.assert_allclose(g_ndc[..., :2], 0.0, atol=1e-7)
