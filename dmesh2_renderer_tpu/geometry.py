@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from dmesh2_renderer_tpu.utils.config import AA_EPS, RAY_NORM_EPS, W_EPS
@@ -38,9 +39,14 @@ def compute_verts_ndc_image(verts, mv, proj, width, height):
       verts_ndc:   (B, P, 3)
       verts_image: (B, P, 2) pixel coordinates.
     """
+    # Precision.HIGHEST on all camera einsums: TPU's default matmul precision
+    # (bf16 passes) perturbs NDC coordinates enough to flip per-face culling
+    # and tile-binning decisions vs CPU/CUDA.
     verts_hom = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], axis=-1)
-    verts_view = jnp.einsum("pj,bij->bpi", verts_hom, mv)
-    verts_proj = jnp.einsum("bpj,bij->bpi", verts_view, proj)
+    verts_view = jnp.einsum("pj,bij->bpi", verts_hom, mv,
+                           precision=jax.lax.Precision.HIGHEST)
+    verts_proj = jnp.einsum("bpj,bij->bpi", verts_view, proj,
+                           precision=jax.lax.Precision.HIGHEST)
     w = verts_proj[..., 3:4]
     # Sign-preserving clamp of w into (-inf,-eps] U [eps, inf). w == 0 maps to
     # +eps, mirroring the reference where the torch mask `w>=0 & w<eps -> eps`
@@ -79,8 +85,16 @@ def init_rays(mv, proj, width, height):
     ones = jnp.ones((height, width, 1), dtype=mv.dtype)
     # NDC point on the near plane: z = -1, w = 1 (__init__.py:225-226).
     pix_ndc_h = jnp.concatenate([pix_ndc, -ones, ones], axis=-1)  # (H, W, 4)
-    pix_view = jnp.einsum("hwj,bij->bhwi", pix_ndc_h, inv_proj)
-    pix_world = jnp.einsum("bhwj,bij->bhwi", pix_view, inv_mv)[..., :3]
+    pix_view = jnp.einsum("hwj,bij->bhwi", pix_ndc_h, inv_proj,
+                         precision=jax.lax.Precision.HIGHEST)
+    # Perspective division before leaving clip space: without it the
+    # unprojected point is scaled by w (negative for GL-style projections),
+    # which silently flips every ray direction. Moller-Trumbore barycentrics
+    # are invariant under that flip, so images still render -- but the hit
+    # parameter t changes sign, which breaks any t >= 0 logic (the peel).
+    pix_view = pix_view / pix_view[..., 3:4]
+    pix_world = jnp.einsum("bhwj,bij->bhwi", pix_view, inv_mv,
+                          precision=jax.lax.Precision.HIGHEST)[..., :3]
 
     ray_d = pix_world - ray_o
     ray_len = jnp.linalg.norm(ray_d, axis=-1, keepdims=True) + RAY_NORM_EPS
@@ -225,15 +239,25 @@ def clamp_bary_uv(u, v):
         inside, 0,
         jnp.where(c1, 1, jnp.where(c2, 2, jnp.where(c3, 3, jnp.where(c4, 4, jnp.where(c5, 5, 6))))),
     )
-    u_c = jnp.select(
-        [code == 0, code == 1, code == 2, code == 3, code == 4, code == 5],
-        [u, jnp.zeros_like(u), jnp.ones_like(u), jnp.zeros_like(u), jnp.zeros_like(u), u],
-        ud,
+    # Nested wheres (not jnp.select): select lowers through argmax, which
+    # Mosaic cannot lower inside Pallas kernels.
+    zero = jnp.zeros_like(u)
+    one = jnp.ones_like(u)
+    u_c = jnp.where(
+        code == 0, u,
+        jnp.where(code == 1, zero,
+                  jnp.where(code == 2, one,
+                            jnp.where(code == 3, zero,
+                                      jnp.where(code == 4, zero,
+                                                jnp.where(code == 5, u, ud))))),
     )
-    v_c = jnp.select(
-        [code == 0, code == 1, code == 2, code == 3, code == 4, code == 5],
-        [v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v), v, jnp.zeros_like(v)],
-        vd,
+    v_c = jnp.where(
+        code == 0, v,
+        jnp.where(code == 1, zero,
+                  jnp.where(code == 2, zero,
+                            jnp.where(code == 3, one,
+                                      jnp.where(code == 4, v,
+                                                jnp.where(code == 5, zero, vd))))),
     )
     return u_c, v_c, code
 
@@ -246,8 +270,16 @@ def clamp_bary_uv_grad(code, dtype=jnp.float32):
     one = jnp.ones_like(code, dtype=dtype)
     zero = jnp.zeros_like(code, dtype=dtype)
     half = 0.5 * one
-    duc_du = jnp.select([code == 0, code == 4, code == 5, code == 6], [one, zero, one, half], zero)
-    dvc_dv = jnp.select([code == 0, code == 4, code == 5, code == 6], [one, one, zero, half], zero)
+    duc_du = jnp.where(
+        code == 0, one,
+        jnp.where(code == 4, zero,
+                  jnp.where(code == 5, one, jnp.where(code == 6, half, zero))),
+    )
+    dvc_dv = jnp.where(
+        code == 0, one,
+        jnp.where(code == 4, one,
+                  jnp.where(code == 5, zero, jnp.where(code == 6, half, zero))),
+    )
     duc_dv = jnp.where(code == 6, -half, zero)
     dvc_du = jnp.where(code == 6, -half, zero)
     return duc_du, duc_dv, dvc_du, dvc_dv

@@ -25,6 +25,13 @@ The sorted entries are then *pre-gathered* into a dense face-record table
 access into contiguous streaming DMA -- the idiomatic TPU answer to the
 reference's per-block shared-memory staging of face data
 (``forward.cu:262-304``).
+
+Stream layout: Mosaic can only DMA-slice HBM arrays whose minor dimension is
+a multiple of the 128-lane tiling, so the (R, 32) record table is stored as
+field-major 128-entry blocks (NB, 32, 128) -- block k holds entries
+[128k, 128(k+1)), field f on sublane f -- and every tile's entry segment is
+aligned to a 128-entry boundary (sentinel-padded). Kernels DMA whole blocks
+and transpose (32, 128) -> (128, 32) in VMEM.
 """
 
 from __future__ import annotations
@@ -34,13 +41,19 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dmesh2_renderer_tpu.utils.config import FACE_RECORD_WIDTH, TILE_X, TILE_Y
+from dmesh2_renderer_tpu.utils.config import (
+    FACE_RECORD_WIDTH,
+    STREAM_BLOCK,
+    TILE_X,
+    TILE_Y,
+)
 
 
 class Binning(NamedTuple):
-    entry_bf: jnp.ndarray      # (R,) int32, b*F+f per sorted entry (sentinel BF)
-    tile_starts: jnp.ndarray   # (T_total,) int32 offsets into the sorted list
-    tile_counts: jnp.ndarray   # (T_total,) int32
+    entry_bf: jnp.ndarray      # (Ra,) int32, b*F+f per entry (sentinel BF);
+                               # tile segments 128-aligned, sentinel-padded
+    tile_starts: jnp.ndarray   # (T_total,) int32 offsets into entry_bf
+    tile_counts: jnp.ndarray   # (T_total,) int32 (excludes alignment padding)
     num_rendered: jnp.ndarray  # () int32: true duplicated-instance count
     num_truncated: jnp.ndarray  # () int32: instances dropped by Kt / capacity
 
@@ -84,6 +97,7 @@ def bin_faces(
     gx, gy = tile_grid_size(patch_width, patch_height)
     t_total = b * gx * gy
     kt = max_tiles_per_face
+    capacity = ((capacity + STREAM_BLOCK - 1) // STREAM_BLOCK) * STREAM_BLOCK
 
     rx0, ry0, rw, rh = face_tile_rects(aa_face_verts, patch_min, gx, gy)
     touched = jnp.where(alive, rw * rh, 0).reshape(bf)               # (BF,)
@@ -130,7 +144,25 @@ def bin_faces(
     tiles = jnp.arange(t_total, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_sorted, tiles, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(tile_sorted, tiles, side="right").astype(jnp.int32)
-    return Binning(entry_sorted, starts, ends - starts, num_rendered, num_truncated)
+    counts = ends - starts
+
+    # Re-lay the sorted list with every tile segment 128-entry aligned
+    # (required for whole-block stream DMA; see module docstring). Gaps are
+    # sentinel entries that the kernels mask via tile_counts.
+    blk = STREAM_BLOCK
+    padded = ((counts + blk - 1) // blk) * blk
+    new_starts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    r_aligned = capacity + blk * t_total
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    in_tile = tile_sorted < t_total
+    safe_tile = jnp.minimum(tile_sorted, t_total - 1)
+    new_pos = jnp.where(
+        in_tile, new_starts[safe_tile] + (idx - starts[safe_tile]), r_aligned
+    )
+    entry_aligned = jnp.full((r_aligned,), bf, dtype=jnp.int32).at[new_pos].set(
+        entry_sorted, mode="drop"
+    )
+    return Binning(entry_aligned, new_starts, counts, num_rendered, num_truncated)
 
 
 # Face-stream record layout (FACE_RECORD_WIDTH = 32 f32 words per entry):
@@ -173,4 +205,18 @@ def pack_face_stream(
     it = faces_intense[bi, fi][:, None]
     aa = aa_face_verts[bi, fi].reshape(r, 6)
     pad = jnp.zeros((r, FACE_RECORD_WIDTH - 29), dtype=v.dtype)
-    return jnp.concatenate([v, c, z, op, it, aa, pad], axis=1)
+    flat = jnp.concatenate([v, c, z, op, it, aa, pad], axis=1)
+    return block_stream(flat)
+
+
+def block_stream(flat):
+    """(R, W) records -> (R/128, W, 128) field-major DMA blocks."""
+    r, width = flat.shape
+    nb = r // STREAM_BLOCK
+    return flat.reshape(nb, STREAM_BLOCK, width).transpose(0, 2, 1)
+
+
+def unblock_stream(blocked):
+    """(NB, W, 128) field-major blocks -> (R, W) records."""
+    nb, width, blk = blocked.shape
+    return blocked.transpose(0, 2, 1).reshape(nb * blk, width)

@@ -45,24 +45,29 @@ from dmesh2_renderer_tpu.utils.config import (
     TILE_Y,
 )
 from dmesh2_renderer_tpu.ops.binning import REC_AA, REC_C, REC_IN, REC_OP, REC_V, REC_Z
-from dmesh2_renderer_tpu.ops.pallas_fwd import _col, chunk_face_quantities, tile_pack
+from dmesh2_renderer_tpu.ops.pallas_fwd import (
+    _col,
+    _cumsum_incl,
+    blend_scan,
+    chunk_face_quantities,
+    tile_pack,
+)
 
 
 def _bwd_kernel(
     # scalar prefetch
-    starts_ref, counts_ref, pm_ref,
+    starts_ref, counts_ref, pm_ref, ray_o_ref,
     # inputs
-    stream_ref,   # (R + C, 32) ANY
-    ray_o_ref,    # (B, 4) VMEM
+    stream_ref,   # (NB, 32, 128) HBM field-major blocks
     ray_d_ref,    # (1, 4, 256) VMEM block
     gin_ref,      # (1, 4, 256) VMEM block: [gr, gg, gb, gd]
     res_ref,      # (1, 8, 256) VMEM block: [Cnr, Cng, Cnb, Dn, Tfin, pTfin, -, -]
     bg_ref,       # (1, 4) VMEM
     # outputs
-    gout_ref,     # (R + C, 32) ANY: per-entry gradient records
+    gout_ref,     # (NB, 32, 128) HBM: per-entry gradient record blocks
     # scratch
-    buf_ref,      # (C, 32) VMEM
-    grad_ref,     # (C, 32) VMEM
+    buf_ref,      # (32, 128) VMEM: one stream block
+    grad_ref,     # (32, 128) VMEM: one gradient block
     sem_in,
     sem_out,
     *,
@@ -78,7 +83,7 @@ def _bwd_kernel(
     ty = rem // grid_x
     tx = rem - ty * grid_x
 
-    start = starts_ref[t]
+    start_blk = starts_ref[t] // chunk  # starts are 128-entry aligned
     count = counts_ref[t]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
@@ -90,9 +95,9 @@ def _bwd_kernel(
     rdx = ray_d_ref[0, 0:1, :]
     rdy = ray_d_ref[0, 1:2, :]
     rdz = ray_d_ref[0, 2:3, :]
-    ox = ray_o_ref[b, 0]
-    oy = ray_o_ref[b, 1]
-    oz = ray_o_ref[b, 2]
+    ox = ray_o_ref[3 * b]
+    oy = ray_o_ref[3 * b + 1]
+    oz = ray_o_ref[3 * b + 2]
 
     g_r = gin_ref[0, 0:1, :]
     g_g = gin_ref[0, 1:2, :]
@@ -105,55 +110,35 @@ def _bwd_kernel(
     t_fin = res_ref[0, 4:5, :]
     pt_fin = res_ref[0, 5:6, :]
     # background-term dot product (backward.cu:389-394)
-    bg_dot = bg_ref[0, 0] * g_r + bg_ref[0, 1] * g_g + bg_ref[0, 2] * g_b + g_d
+    bg_dot = (
+        bg_ref[0:1, 0:1] * g_r + bg_ref[0:1, 1:2] * g_g
+        + bg_ref[0:1, 2:3] * g_b + g_d
+    )
 
     nchunks = pl.cdiv(count, chunk)
 
     def chunk_body(i, carry):
         t_run, p_r, p_g, p_b, p_d = carry
-        copy = pltpu.make_async_copy(
-            stream_ref.at[pl.ds(start + i * chunk, chunk), :], buf_ref, sem_in
-        )
+        copy = pltpu.make_async_copy(stream_ref.at[start_blk + i], buf_ref, sem_in)
         copy.start()
         copy.wait()
-        buf = buf_ref[:, :]
+        buf = buf_ref[:, :].T
         n_valid = count - i * chunk
 
         q = chunk_face_quantities(
             buf, n_valid, rdx, rdy, rdz, ox, oy, oz, px0, py0, aa_temperature
         )
 
-        # --- sequential sweep: T_before and post-blend prefixes per face ---
-        zero_rows = jnp.zeros((chunk, TILE_PIXELS), jnp.float32)
-
-        def sweep(j, s):
-            t_run, p_r, p_g, p_b, p_d, tb, pa_r, pa_g, pa_b, pa_d = s
-            a_row = jax.lax.dynamic_slice(q.alpha, (j, 0), (1, TILE_PIXELS))
-            p_row = jax.lax.dynamic_slice(q.passes, (j, 0), (1, TILE_PIXELS))
-            ok = p_row * (t_run >= T_EPS).astype(p_row.dtype)
-            a_eff = a_row * ok
-            w = a_eff * t_run
-            p_r = p_r + jax.lax.dynamic_slice(q.ic_r, (j, 0), (1, TILE_PIXELS)) * w
-            p_g = p_g + jax.lax.dynamic_slice(q.ic_g, (j, 0), (1, TILE_PIXELS)) * w
-            p_b = p_b + jax.lax.dynamic_slice(q.ic_b, (j, 0), (1, TILE_PIXELS)) * w
-            p_d = p_d + jax.lax.dynamic_slice(q.i_d, (j, 0), (1, TILE_PIXELS)) * w
-            tb = jax.lax.dynamic_update_slice(tb, t_run, (j, 0))
-            pa_r = jax.lax.dynamic_update_slice(pa_r, p_r, (j, 0))
-            pa_g = jax.lax.dynamic_update_slice(pa_g, p_g, (j, 0))
-            pa_b = jax.lax.dynamic_update_slice(pa_b, p_b, (j, 0))
-            pa_d = jax.lax.dynamic_update_slice(pa_d, p_d, (j, 0))
-            t_run = t_run * (1.0 - a_eff)
-            return t_run, p_r, p_g, p_b, p_d, tb, pa_r, pa_g, pa_b, pa_d
-
-        t_run, p_r, p_g, p_b, p_d, tb, pa_r, pa_g, pa_b, pa_d = jax.lax.fori_loop(
-            0, chunk, sweep,
-            (t_run, p_r, p_g, p_b, p_d, zero_rows, zero_rows, zero_rows, zero_rows, zero_rows),
-        )
+        # --- prefix-scan blend replay: T_before and post-blend prefixes ---
+        # (same log-step scan as the forward kernel; see blend_scan)
+        tb, active, a_eff, w, t_out = blend_scan(q.passes, q.alpha, t_run)
+        pa_r = p_r + _cumsum_incl(q.ic_r * w)
+        pa_g = p_g + _cumsum_incl(q.ic_g * w)
+        pa_b = p_b + _cumsum_incl(q.ic_b * w)
+        pa_d = p_d + _cumsum_incl(q.i_d * w)
 
         # --- vectorized gradient evaluation over (C, 256) ---
-        ok = q.passes * (tb >= T_EPS).astype(jnp.float32)
-        a_eff = q.alpha * ok
-        w = a_eff * tb
+        ok = active.astype(jnp.float32)
         t_after = tb * (1.0 - a_eff)
         inv_after = jnp.where(t_after > 0.0, 1.0 / jnp.where(t_after > 0.0, t_after, 1.0), 0.0)
 
@@ -306,13 +291,14 @@ def _bwd_kernel(
             + [jnp.zeros((chunk, GRAD_RECORD_WIDTH - 29), jnp.float32)],
             axis=1,
         )
-        grad_ref[:, :] = rec
+        grad_ref[:, :] = rec.T
         out_copy = pltpu.make_async_copy(
-            grad_ref, gout_ref.at[pl.ds(start + i * chunk, chunk), :], sem_out
+            grad_ref, gout_ref.at[start_blk + i], sem_out
         )
         out_copy.start()
         out_copy.wait()
-        return t_run, p_r, p_g, p_b, p_d
+        return t_out, pa_r[chunk - 1:chunk, :], pa_g[chunk - 1:chunk, :], \
+            pa_b[chunk - 1:chunk, :], pa_d[chunk - 1:chunk, :]
 
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
@@ -324,7 +310,7 @@ def _bwd_kernel(
     static_argnames=("patch_width", "patch_height", "aa_temperature", "chunk", "interpret"),
 )
 def composite_backward(
-    face_stream,   # (R, 32)
+    face_stream,   # (NB, 32, 128) field-major blocks (binning.block_stream)
     tile_starts,   # (T_total,)
     tile_counts,   # (T_total,)
     ray_o_cam,     # (B, 3)
@@ -345,16 +331,15 @@ def composite_backward(
     chunk: int = 128,
     interpret: bool = False,
 ):
-    """Per-entry gradient records (R, 32) in face-stream layout."""
+    """Per-entry gradient records (R, 32) in face-stream entry order."""
     b, h, w, _ = ray_d.shape
     gx = -(-patch_width // TILE_X)
     gy = -(-patch_height // TILE_Y)
     t_total = b * gx * gy
-    r = face_stream.shape[0]
+    nb = face_stream.shape[0]
+    assert chunk == face_stream.shape[2], "chunk must equal STREAM_BLOCK"
 
-    stream = jnp.concatenate(
-        [face_stream, jnp.zeros((chunk, FACE_RECORD_WIDTH), face_stream.dtype)], axis=0
-    )
+    stream = face_stream
     from dmesh2_renderer_tpu.ops.pallas_fwd import tile_rays
 
     ray_d_t = tile_rays(ray_d, gx, gy)
@@ -366,7 +351,7 @@ def composite_backward(
     res_t = tile_pack(
         [cn[..., 0], cn[..., 1], cn[..., 2], dnm, final_t, prev_t], gx, gy, rows=8
     )
-    ray_o4 = jnp.concatenate([ray_o_cam, jnp.zeros((b, 1), ray_o_cam.dtype)], axis=1)
+    ray_o_flat = ray_o_cam.reshape(-1).astype(jnp.float32)
     bg4 = jnp.concatenate([background, jnp.zeros((1,), background.dtype)])[None, :]
     pm_flat = patch_min.reshape(-1).astype(jnp.int32)
 
@@ -374,11 +359,10 @@ def composite_backward(
         _bwd_kernel, grid_x=gx, grid_y=gy, chunk=chunk, aa_temperature=aa_temperature
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(t_total,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                     # stream
-            pl.BlockSpec(memory_space=pltpu.VMEM),                    # ray_o
+            pl.BlockSpec(memory_space=pltpu.HBM),                      # stream
             pl.BlockSpec((1, 4, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                    # ray_d
             pl.BlockSpec((1, 4, TILE_PIXELS), lambda i, *_: (i, 0, 0),
@@ -387,10 +371,10 @@ def composite_backward(
                          memory_space=pltpu.VMEM),                    # residuals
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # bg
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((chunk, FACE_RECORD_WIDTH), jnp.float32),
-            pltpu.VMEM((chunk, GRAD_RECORD_WIDTH), jnp.float32),
+            pltpu.VMEM((FACE_RECORD_WIDTH, chunk), jnp.float32),
+            pltpu.VMEM((GRAD_RECORD_WIDTH, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -398,10 +382,12 @@ def composite_backward(
     gout = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r + chunk, GRAD_RECORD_WIDTH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, GRAD_RECORD_WIDTH, chunk), jnp.float32),
         interpret=interpret,
-    )(tile_starts, tile_counts, pm_flat, stream, ray_o4, ray_d_t, gin_t, res_t, bg4)
-    return gout[:r]
+    )(tile_starts, tile_counts, pm_flat, ray_o_flat, stream, ray_d_t, gin_t, res_t, bg4)
+    from dmesh2_renderer_tpu.ops.binning import unblock_stream
+
+    return unblock_stream(gout)
 
 
 def scatter_entry_grads(

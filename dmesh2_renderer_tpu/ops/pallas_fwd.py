@@ -11,8 +11,12 @@ TPU-native counterpart of the CUDA tile compositor ``renderCUDA<3>``
   shared-memory staging of 256 faces    chunked async DMA of pre-gathered
   (forward.cu:228-304)                  (C, 32) face records HBM -> VMEM
   per-thread sequential blend loop      per-chunk vectorized (C, 256) alpha /
-                                        color evaluation + a C-step carried
-                                        blend scan
+                                        color evaluation + a log2(C)-step
+                                        prefix-product blend scan (front-to-
+                                        back compositing is associative:
+                                        T_i = prod_{k<i}(1 - a_k), so the
+                                        whole chunk blends in ~7 vector ops
+                                        instead of a C-step serial loop)
   __syncthreads_count early exit        whole-chunk skip: the chunk while-loop
   (forward.cu:258)                      stops when every lane has T < 1e-4
   data-dependent list length            scalar-prefetched (start, count) per
@@ -85,7 +89,7 @@ def chunk_face_quantities(buf, n_valid, rdx, rdy, rdz, ox, oy, oz,
       buf: (C, 32) face records.
       n_valid: scalar count of valid rows in this chunk.
       rdx, rdy, rdz: (1, N) ray directions.
-      ox, oy, oz: scalar ray origin (camera position for this batch).
+      ox, oy, oz: (1, 1) ray origin (camera position for this batch).
       px0, py0: (1, N) pixel box min corner in image coordinates.
       aa_temperature: static python float.
 
@@ -170,18 +174,77 @@ def chunk_face_quantities(buf, n_valid, rdx, rdy, rdz, ox, oy, oz,
     )
 
 
+def _shift_down(x, s, fill):
+    """Shift rows of (C, N) down by s; top s rows become ``fill``."""
+    c = x.shape[0]
+    pad = jnp.full((s, x.shape[1]), fill, x.dtype)
+    return jnp.concatenate([pad, x[: c - s]], axis=0)
+
+
+def _cumprod_incl(x):
+    """Inclusive prefix product along axis 0 (Hillis-Steele, log2 C steps)."""
+    s = 1
+    while s < x.shape[0]:
+        x = x * _shift_down(x, s, 1.0)
+        s *= 2
+    return x
+
+
+def _cumsum_incl(x):
+    """Inclusive prefix sum along axis 0 (Hillis-Steele, log2 C steps)."""
+    s = 1
+    while s < x.shape[0]:
+        x = x + _shift_down(x, s, 0.0)
+        s *= 2
+    return x
+
+
+def blend_scan(passes, alpha, t_in):
+    """Front-to-back blending of one chunk as a prefix-product scan.
+
+    Sequential semantics being reproduced (forward.cu:398-416): face j blends
+    iff it passes and the running transmittance T_j (before it) is >= T_EPS;
+    then T *= (1 - a_j). Because a_j in [0, 1] makes the *unmasked* prefix
+    product monotonically non-increasing, the first row where it drops below
+    T_EPS is exactly the sequential freeze point, so the unmasked prefix
+    equals the sequential ("frozen") transmittance at every active row -- the
+    freeze never has to be simulated.
+
+    Args:
+      passes: (C, N) 0/1 skip-test mask (already folded into alpha too).
+      alpha:  (C, N) per-face alpha, zero where not passing.
+      t_in:   (1, N) carried transmittance entering the chunk.
+
+    Returns (tb, active, a_eff, w, t_out):
+      tb:     (C, N) transmittance before each face (valid at active rows).
+      active: (C, N) bool, face actually blended.
+      a_eff:  (C, N) alpha where active else 0.
+      w:      (C, N) blend weight a_eff * tb.
+      t_out:  (1, N) transmittance leaving the chunk.
+    """
+    p_excl = _shift_down(_cumprod_incl(1.0 - alpha), 1, 1.0)
+    tb = t_in * p_excl
+    active = (passes > 0.0) & (tb >= T_EPS)
+    a_eff = jnp.where(active, alpha, 0.0)
+    w = a_eff * tb
+    # Frozen exit transmittance: T after the last active face (min of the
+    # per-active-row post-blend values; t_in when nothing blended).
+    cand = jnp.where(active, tb * (1.0 - alpha), t_in)
+    t_out = jnp.min(cand, axis=0, keepdims=True)
+    return tb, active, a_eff, w, t_out
+
+
 def _fwd_kernel(
     # scalar prefetch
-    starts_ref, counts_ref, pm_ref,
+    starts_ref, counts_ref, pm_ref, ray_o_ref,
     # inputs
-    stream_ref,   # (R + C, 32) ANY/HBM
-    ray_o_ref,    # (B, 4) VMEM
+    stream_ref,   # (NB, 32, 128) HBM field-major blocks
     ray_d_ref,    # (1, 4, 256) VMEM block for this tile
     bg_ref,       # (1, 4) VMEM
     # outputs
     out_ref,      # (1, 8, 256) VMEM block
     # scratch
-    buf_ref,      # (C, 32) VMEM
+    buf_ref,      # (32, 128) VMEM: one field-major block
     sem,          # DMA semaphore
     *,
     grid_x: int,
@@ -196,7 +259,7 @@ def _fwd_kernel(
     ty = rem // grid_x
     tx = rem - ty * grid_x
 
-    start = starts_ref[t]
+    start_blk = starts_ref[t] // chunk  # starts are 128-entry aligned
     count = counts_ref[t]
 
     # Pixel box min corners in image coordinates (forward.cu:319-323).
@@ -209,56 +272,44 @@ def _fwd_kernel(
     rdx = ray_d_ref[0, 0:1, :]
     rdy = ray_d_ref[0, 1:2, :]
     rdz = ray_d_ref[0, 2:3, :]
-    ox = ray_o_ref[b, 0]
-    oy = ray_o_ref[b, 1]
-    oz = ray_o_ref[b, 2]
+    ox = ray_o_ref[3 * b]
+    oy = ray_o_ref[3 * b + 1]
+    oz = ray_o_ref[3 * b + 2]
 
     nchunks = pl.cdiv(count, chunk)
 
     def chunk_body(state):
         i, t_run, pt_run, cr, cg, cb, cd, nc = state
-        copy = pltpu.make_async_copy(
-            stream_ref.at[pl.ds(start + i * chunk, chunk), :],
-            buf_ref,
-            sem,
-        )
+        copy = pltpu.make_async_copy(stream_ref.at[start_blk + i], buf_ref, sem)
         copy.start()
         copy.wait()
         n_valid = count - i * chunk
 
         q = chunk_face_quantities(
-            buf_ref[:, :], n_valid, rdx, rdy, rdz, ox, oy, oz,
+            buf_ref[:, :].T, n_valid, rdx, rdy, rdz, ox, oy, oz,
             px0, py0, aa_temperature,
         )
-        passes, alpha, ic_r, ic_g, ic_b, i_d = (
-            q.passes, q.alpha, q.ic_r, q.ic_g, q.ic_b, q.i_d
+        tb, active, _a_eff, w, t_out = blend_scan(q.passes, q.alpha, t_run)
+        cr = cr + jnp.sum(q.ic_r * w, axis=0, keepdims=True)
+        cg = cg + jnp.sum(q.ic_g * w, axis=0, keepdims=True)
+        cb = cb + jnp.sum(q.ic_b * w, axis=0, keepdims=True)
+        cd = cd + jnp.sum(q.i_d * w, axis=0, keepdims=True)
+        # prev_T = T before the last blended face (backward.cu:396-401).
+        m = jnp.min(jnp.where(active, tb, 2.0), axis=0, keepdims=True)
+        pt_run = jnp.where(m < 1.5, m, pt_run)
+        # n_contrib = 1-based index of the last blended face.
+        rowf = (
+            jax.lax.broadcasted_iota(jnp.int32, active.shape, 0).astype(jnp.float32)
+            + (i * chunk + 1).astype(jnp.float32)
         )
-
-        def blend(j, s):
-            t_run, pt_run, cr, cg, cb, cd, nc = s
-            p = jax.lax.dynamic_slice(passes, (j, 0), (1, TILE_PIXELS))
-            a = jax.lax.dynamic_slice(alpha, (j, 0), (1, TILE_PIXELS))
-            ok = p * (t_run >= T_EPS).astype(p.dtype)
-            a_eff = a * ok
-            w = a_eff * t_run
-            cr = cr + jax.lax.dynamic_slice(ic_r, (j, 0), (1, TILE_PIXELS)) * w
-            cg = cg + jax.lax.dynamic_slice(ic_g, (j, 0), (1, TILE_PIXELS)) * w
-            cb = cb + jax.lax.dynamic_slice(ic_b, (j, 0), (1, TILE_PIXELS)) * w
-            cd = cd + jax.lax.dynamic_slice(i_d, (j, 0), (1, TILE_PIXELS)) * w
-            blended = ok > 0.0
-            pt_run = jnp.where(blended, t_run, pt_run)
-            nc = jnp.where(blended, (i * chunk + j + 1).astype(nc.dtype), nc)
-            t_run = t_run * (1.0 - a_eff)
-            return t_run, pt_run, cr, cg, cb, cd, nc
-
-        t_run, pt_run, cr, cg, cb, cd, nc = jax.lax.fori_loop(
-            0, chunk, blend, (t_run, pt_run, cr, cg, cb, cd, nc)
+        nc = jnp.maximum(
+            nc, jnp.max(jnp.where(active, rowf, 0.0), axis=0, keepdims=True)
         )
-        return i + 1, t_run, pt_run, cr, cg, cb, cd, nc
+        return i + 1, t_out, pt_run, cr, cg, cb, cd, nc
 
     def chunk_cond(state):
         i, t_run = state[0], state[1]
-        return (i < nchunks) & jnp.any(t_run >= T_EPS)
+        return (i < nchunks) & (jnp.max(t_run) >= T_EPS)
 
     zeros = jnp.zeros((1, TILE_PIXELS), dtype=jnp.float32)
     ones = jnp.ones((1, TILE_PIXELS), dtype=jnp.float32)
@@ -269,9 +320,9 @@ def _fwd_kernel(
     # Background composite (forward.cu:427-428).
     out_ref[0, :, :] = jnp.concatenate(
         [
-            cr + t_run * bg_ref[0, 0],
-            cg + t_run * bg_ref[0, 1],
-            cb + t_run * bg_ref[0, 2],
+            cr + t_run * bg_ref[0:1, 0:1],
+            cg + t_run * bg_ref[0:1, 1:2],
+            cb + t_run * bg_ref[0:1, 2:3],
             cd + t_run * 1.0,
             t_run,
             pt_run,
@@ -320,7 +371,7 @@ def untile(packed_rows, b, h, w, grid_x, grid_y):
     static_argnames=("patch_width", "patch_height", "aa_temperature", "chunk", "interpret"),
 )
 def composite_forward(
-    face_stream,   # (R, 32)
+    face_stream,   # (NB, 32, 128) field-major blocks (binning.block_stream)
     tile_starts,   # (T_total,)
     tile_counts,   # (T_total,)
     ray_o_cam,     # (B, 3) camera origins
@@ -339,13 +390,11 @@ def composite_forward(
     gx = -(-patch_width // TILE_X)
     gy = -(-patch_height // TILE_Y)
     t_total = b * gx * gy
+    assert chunk == face_stream.shape[2], "chunk must equal STREAM_BLOCK"
 
-    # Pad the stream so any in-range chunk DMA is in bounds.
-    stream = jnp.concatenate(
-        [face_stream, jnp.zeros((chunk, FACE_RECORD_WIDTH), face_stream.dtype)], axis=0
-    )
+    stream = face_stream  # tile segments are block-aligned; no padding needed
     ray_d_t = tile_rays(ray_d, gx, gy)
-    ray_o4 = jnp.concatenate([ray_o_cam, jnp.zeros((b, 1), ray_o_cam.dtype)], axis=1)
+    ray_o_flat = ray_o_cam.reshape(-1).astype(jnp.float32)
     bg4 = jnp.concatenate([background, jnp.zeros((1,), background.dtype)])[None, :]
     pm_flat = patch_min.reshape(-1).astype(jnp.int32)
 
@@ -358,11 +407,10 @@ def composite_forward(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(t_total,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                       # stream
-            pl.BlockSpec(memory_space=pltpu.VMEM),                      # ray_o
+            pl.BlockSpec(memory_space=pltpu.HBM),                        # stream
             pl.BlockSpec((1, 4, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                      # ray_d tiles
             pl.BlockSpec(memory_space=pltpu.VMEM),                      # bg
@@ -370,7 +418,7 @@ def composite_forward(
         out_specs=pl.BlockSpec((1, 8, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((chunk, FACE_RECORD_WIDTH), jnp.float32),
+            pltpu.VMEM((FACE_RECORD_WIDTH, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -380,7 +428,7 @@ def composite_forward(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_total, 8, TILE_PIXELS), jnp.float32),
         interpret=interpret,
-    )(tile_starts, tile_counts, pm_flat, stream, ray_o4, ray_d_t, bg4)
+    )(tile_starts, tile_counts, pm_flat, ray_o_flat, stream, ray_d_t, bg4)
 
     color = jnp.stack(
         [untile(out[:, ch, :], b, h, w, gx, gy) for ch in (OUT_R, OUT_G, OUT_B)],

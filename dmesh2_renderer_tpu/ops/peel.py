@@ -10,16 +10,20 @@ maximally TPU-hostile.
 TPU redesign: the tet walk enumerates exactly the existing faces the ray
 intersects, in ray-parameter order (every face crossed between entry and the
 L-th existing face). So the same output contract is computed with a *single
-streaming pass* over the tile's face list: each pixel keeps an L-slot
-insertion network of the smallest intersection parameters t >= 0 (a
-branch-free min/max cascade per face, vectorized over the 256-pixel lane
-axis). No adjacency chasing, no serial walk; ``tets/face_tets/tet_faces``
-remain in the API for signature parity (``__init__.py:404-416``).
+streaming pass* over the tile's face list: per chunk, Moller-Trumbore runs
+vectorized over all (C, 256) (face, pixel) pairs, then the L smallest hit
+parameters are extracted with L successive masked min-reductions over the
+face axis (argmin recovered by value-matching) and merged into the carried
+L-slot ordering by a branch-free insertion cascade. No adjacency chasing, no
+serial per-face walk; ``tets/face_tets/tet_faces`` remain in the API for
+signature parity (``__init__.py:404-416``).
 
 Known deviations (documented): rays that the reference aborts mid-walk on
 numerical inconsistencies (forward.cu:892-896, 917-981 ``done`` guards) or
 that start in a boundary configuration with no incident tet are peeled
-robustly here; layer sets can differ on such degenerate rays only.
+robustly here; layer sets can differ on such degenerate rays only. Two
+*distinct* faces hit at bit-identical t collapse to one layer (measure-zero;
+the same face never appears twice in one tile list).
 """
 
 from __future__ import annotations
@@ -39,11 +43,13 @@ PREC_EXIST = 9   # existence flag
 PREC_FID = 10    # face id (exact in f32 for F < 2^24)
 PREC_WIDTH = 16
 
-_INF = jnp.float32(3.0e38)
+_INF = 3.0e38  # python float: jnp scalars here would be captured as consts
 
 
 def pack_peel_stream(entry_bf, verts, faces, faces_existence):
-    """Gather (R, 16) peel records from sorted entries (sentinel = B*F)."""
+    """Gather peel records into (NB, 16, 128) field-major DMA blocks."""
+    from dmesh2_renderer_tpu.ops.binning import block_stream
+
     f = faces.shape[0]
     r = entry_bf.shape[0]
     fi = entry_bf % f  # sentinel rows map to face 0; never read (masked by counts)
@@ -51,16 +57,20 @@ def pack_peel_stream(entry_bf, verts, faces, faces_existence):
     exist = faces_existence[fi].astype(v.dtype)[:, None]
     fid = fi.astype(v.dtype)[:, None]
     pad = jnp.zeros((r, PREC_WIDTH - 11), v.dtype)
-    return jnp.concatenate([v, exist, fid, pad], axis=1)
+    return block_stream(jnp.concatenate([v, exist, fid, pad], axis=1))
+
+
+def _pcol(buf, idx):
+    """(C, 1) column of the peel-record chunk."""
+    return buf[:, idx:idx + 1]
 
 
 def _peel_kernel(
-    starts_ref, counts_ref,
-    stream_ref,    # (R + C, 16) ANY
-    ray_o_ref,     # (B, 4) VMEM
+    starts_ref, counts_ref, ray_o_ref,
+    stream_ref,    # (NB, 16, 128) HBM field-major blocks
     ray_d_ref,     # (1, 4, 256) VMEM block
     out_ref,       # (1, L + 1, 256) VMEM block
-    buf_ref,       # (C, 16) VMEM
+    buf_ref,       # (16, 128) VMEM: one field-major block
     sem,
     *,
     tiles_per_batch: int,
@@ -68,62 +78,73 @@ def _peel_kernel(
     num_layers: int,
 ):
     t = pl.program_id(0)
-    b = t // tiles_per_batch
-    start = starts_ref[t]
+    start_blk = starts_ref[t] // chunk  # starts are 128-entry aligned
     count = counts_ref[t]
 
+    t_b = t // tiles_per_batch
     rdx = ray_d_ref[0, 0:1, :]
     rdy = ray_d_ref[0, 1:2, :]
     rdz = ray_d_ref[0, 2:3, :]
-    ox = ray_o_ref[b, 0]
-    oy = ray_o_ref[b, 1]
-    oz = ray_o_ref[b, 2]
+    ox = ray_o_ref[3 * t_b]
+    oy = ray_o_ref[3 * t_b + 1]
+    oz = ray_o_ref[3 * t_b + 2]
 
     nchunks = pl.cdiv(count, chunk)
     neg1 = jnp.full((1, TILE_PIXELS), -1.0, jnp.float32)
     inf = jnp.full((1, TILE_PIXELS), _INF, jnp.float32)
 
     def chunk_body(i, slots):
-        copy = pltpu.make_async_copy(
-            stream_ref.at[pl.ds(start + i * chunk, chunk), :], buf_ref, sem
-        )
+        slot_t, slot_id = slots
+        copy = pltpu.make_async_copy(stream_ref.at[start_blk + i], buf_ref, sem)
         copy.start()
         copy.wait()
-        buf = buf_ref[:, :]
+        buf = buf_ref[:, :].T
         n_valid = count - i * chunk
+        row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
-        def face_body(j, slots):
-            slot_t, slot_id = slots
-            row = buf[pl.ds(j, 1), :]  # (1, 16)
-            v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
-            v1x, v1y, v1z = row[0, 3], row[0, 4], row[0, 5]
-            v2x, v2y, v2z = row[0, 6], row[0, 7], row[0, 8]
-            exist = row[0, PREC_EXIST]
-            fid = row[0, PREC_FID]
+        # Moller-Trumbore vectorized over all (face, pixel) pairs.
+        v0x, v0y, v0z = _pcol(buf, 0), _pcol(buf, 1), _pcol(buf, 2)
+        v1x, v1y, v1z = _pcol(buf, 3), _pcol(buf, 4), _pcol(buf, 5)
+        v2x, v2y, v2z = _pcol(buf, 6), _pcol(buf, 7), _pcol(buf, 8)
+        exist = _pcol(buf, PREC_EXIST)
+        fid = _pcol(buf, PREC_FID)
 
-            e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-            e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-            t0x, t0y, t0z = ox - v0x, oy - v0y, oz - v0z
-            pvx = rdy * e2z - rdz * e2y
-            pvy = rdz * e2x - rdx * e2z
-            pvz = rdx * e2y - rdy * e2x
-            qvx = t0y * e1z - t0z * e1y
-            qvy = t0z * e1x - t0x * e1z
-            qvz = t0x * e1y - t0y * e1x
-            denom = pvx * e1x + pvy * e1y + pvz * e1z
-            ok = denom != 0.0
-            inv = 1.0 / jnp.where(ok, denom, 1.0)
-            tt = (qvx * e2x + qvy * e2y + qvz * e2z) * inv
-            u = (pvx * t0x + pvy * t0y + pvz * t0z) * inv
-            v = (qvx * rdx + qvy * rdy + qvz * rdz) * inv
-            # exact hit test of firstIntersectCUDA (forward.cu:667) + existence
-            valid = (
-                ok & (tt >= 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (exist > 0.0) & (j < n_valid)
-            )
-            carry_t = jnp.where(valid, tt, inf)
-            carry_id = jnp.where(valid, fid, -1.0)
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        t0x, t0y, t0z = ox - v0x, oy - v0y, oz - v0z
+        pvx = rdy * e2z - rdz * e2y
+        pvy = rdz * e2x - rdx * e2z
+        pvz = rdx * e2y - rdy * e2x
+        qvx = t0y * e1z - t0z * e1y
+        qvy = t0z * e1x - t0x * e1z
+        qvz = t0x * e1y - t0y * e1x
+        denom = pvx * e1x + pvy * e1y + pvz * e1z
+        ok = denom != 0.0
+        inv = 1.0 / jnp.where(ok, denom, 1.0)
+        tt = (qvx * e2x + qvy * e2y + qvz * e2z) * inv
+        u = (pvx * t0x + pvy * t0y + pvz * t0z) * inv
+        v = (qvx * rdx + qvy * rdy + qvz * rdz) * inv
+        # exact hit test of firstIntersectCUDA (forward.cu:667) + existence
+        valid = (
+            ok & (tt >= 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (exist > 0.0) & (row < n_valid)
+        )
+        tt = jnp.where(valid, tt, _INF)      # (C, N)
+        fidb = fid + 0.0 * tt                # (C, N) broadcast face ids
 
+        # Extract the chunk's L smallest hits per pixel with successive
+        # masked min-reductions, merging each into the carried slots.
+        thresh = jnp.full((1, TILE_PIXELS), -1.0, jnp.float32)
+        for _k in range(num_layers):
+            cand = jnp.where(tt > thresh, tt, _INF)
+            m = jnp.min(cand, axis=0, keepdims=True)           # (1, N)
+            hit = m < _INF
+            sel = (cand == m) & hit
+            mid = jnp.max(jnp.where(sel, fidb, -1.0), axis=0, keepdims=True)
+            thresh = jnp.where(hit, m, thresh)
+            # branch-free insertion of (m, mid) into the sorted slots
+            carry_t = jnp.where(hit, m, inf)
+            carry_id = jnp.where(hit, mid, neg1)
             new_t, new_id = [], []
             for k in range(num_layers):
                 take = carry_t < slot_t[k]
@@ -133,9 +154,8 @@ def _peel_kernel(
                 carry_id = jnp.where(take, slot_id[k], carry_id)
                 new_t.append(nt)
                 new_id.append(ni)
-            return tuple(new_t), tuple(new_id)
-
-        return jax.lax.fori_loop(0, chunk, face_body, slots)
+            slot_t, slot_id = tuple(new_t), tuple(new_id)
+        return slot_t, slot_id
 
     slot_t = tuple(inf for _ in range(num_layers))
     slot_id = tuple(neg1 for _ in range(num_layers))
@@ -170,28 +190,26 @@ def peel_layers(
     gy = -(-height // TILE_Y)
     t_total = b * gx * gy
 
-    stream = jnp.concatenate(
-        [peel_stream, jnp.zeros((chunk, PREC_WIDTH), peel_stream.dtype)], axis=0
-    )
+    assert chunk == peel_stream.shape[2], "chunk must equal STREAM_BLOCK"
+    stream = peel_stream
     ray_d_t = tile_rays(ray_d, gx, gy)
-    ray_o4 = jnp.concatenate([ray_o_cam, jnp.zeros((b, 1), ray_o_cam.dtype)], axis=1)
+    ray_o_flat = ray_o_cam.reshape(-1).astype(jnp.float32)
 
     kernel = functools.partial(
         _peel_kernel, tiles_per_batch=gx * gy, chunk=chunk, num_layers=num_layers
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_total,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, 4, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, num_layers + 1, TILE_PIXELS),
                                lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((chunk, PREC_WIDTH), jnp.float32),
+            pltpu.VMEM((PREC_WIDTH, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -200,7 +218,7 @@ def peel_layers(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_total, num_layers + 1, TILE_PIXELS), jnp.float32),
         interpret=interpret,
-    )(tile_starts, tile_counts, stream, ray_o4, ray_d_t)
+    )(tile_starts, tile_counts, ray_o_flat, stream, ray_d_t)
 
     layers = jnp.stack(
         [untile(out[:, k, :], b, h, w, gx, gy) for k in range(num_layers)], axis=-1

@@ -45,10 +45,16 @@ DEFAULT_BINNING_CAPACITY = 1 << 18
 # Faces touching more tiles than this are truncated (reported via overflow).
 DEFAULT_MAX_TILES_PER_FACE = 64
 
+# Entries per face-stream DMA block. Mosaic can only DMA-slice HBM arrays at
+# 128-lane granularity, so the stream is stored as (NB, record_width, 128)
+# field-major blocks and tile segments are 128-entry aligned (binning.py).
+STREAM_BLOCK = 128
+
 # Faces streamed per chunk from HBM into VMEM inside the compositing kernels
 # (the TPU analogue of the reference's 256-face shared-memory staging rounds,
-# cuda_impl/forward.cu:228-304).
-DEFAULT_FACE_CHUNK = 128
+# cuda_impl/forward.cu:228-304). Must equal STREAM_BLOCK in the blocked
+# stream layout.
+DEFAULT_FACE_CHUNK = STREAM_BLOCK
 
 # Width of one face record in the packed face-stream table (f32 words).
 FACE_RECORD_WIDTH = 32

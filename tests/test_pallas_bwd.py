@@ -68,12 +68,12 @@ def test_backward_matches_autodiff(tau):
     ray_o_cam = ray_o[:, 0, 0, :]
     color, depth, ft, pt, _ = composite_forward(
         stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
-        bg, pm, width, height, tau, chunk=32, interpret=True,
+        bg, pm, width, height, tau, chunk=128, interpret=True,
     )
     grad_records = composite_backward(
         stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
         bg, pm, color, depth, ft, pt, gc, gd, width, height, tau,
-        chunk=32, interpret=True,
+        chunk=128, interpret=True,
     )
     d_verts, d_vcolor, d_op, d_vndc_z, d_int, d_aa = scatter_entry_grads(
         grad_records, binning.entry_bf, faces, verts.shape[0], 2

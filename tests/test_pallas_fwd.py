@@ -45,9 +45,9 @@ def test_pallas_forward_matches_reference(tau):
     color, depth, ft, pt, _ = composite_forward(
         stream, binning.tile_starts, binning.tile_counts,
         ray_o[:, 0, 0, :], ray_d, bg, pm, width, height, tau,
-        chunk=32, interpret=True,
+        chunk=128, interpret=True,
     )
-    np.testing.assert_allclose(np.asarray(color), np.asarray(ref_color), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(ft), np.asarray(ref_aux.final_t), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(pt), np.asarray(ref_aux.final_prev_t), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref_color), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(ft), np.asarray(ref_aux.final_t), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(pt), np.asarray(ref_aux.final_prev_t), atol=5e-6)
