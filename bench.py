@@ -67,16 +67,22 @@ def build_step(width, height, n_faces, capacity, tau):
 def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        width, height, n_faces, capacity = 1920, 1080, 1_000_000, 1 << 22
+        width, height, n_faces, capacity = 1920, 1080, 1_000_000, 1 << 23
     else:  # CPU smoke-scale so the bench always emits a line
         width, height, n_faces, capacity = 256, 256, 1280, 1 << 14
 
     grad_fn, args = build_step(width, height, n_faces, capacity, tau=1.0)
-    jax.block_until_ready(grad_fn(*args))  # compile + warm
+
+    def force(out):
+        # block_until_ready is unreliable under remote-tunnel backends; a
+        # host readback of one scalar guarantees execution completed.
+        return float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+    force(grad_fn(*args))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = grad_fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     dt = (time.perf_counter() - t0) / ITERS
 
     mpix_s = width * height / dt / 1e6

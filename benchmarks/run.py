@@ -1,0 +1,194 @@
+"""Benchmark suite: the five BASELINE.md configs.
+
+Usage: python benchmarks/run.py [1 2 3 4 5]   (default: all)
+
+Prints one JSON line per config. The reference publishes no numbers
+(BASELINE.md); values are recorded for round-over-round tracking.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dmesh2_renderer_tpu.functional import render
+from dmesh2_renderer_tpu.models.layered import LayeredRenderer
+from dmesh2_renderer_tpu.parallel.data_parallel import (
+    SceneParams,
+    make_sharded_train_step,
+)
+from dmesh2_renderer_tpu.utils.config import RasterConfig
+from dmesh2_renderer_tpu.utils.meshes import (
+    icosphere,
+    orbit_cameras,
+    tet_grid,
+    triangle_soup,
+)
+
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+
+
+def _force(out):
+    return float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+
+def _cfg(capacity):
+    return RasterConfig(
+        binning_capacity=capacity,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
+def _time(fn, *args):
+    _force(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*args)
+    _force(out)
+    return (time.perf_counter() - t0) / ITERS
+
+
+def _emit(name, value, unit, **extra):
+    print(json.dumps({"config": name, "value": round(value, 3), "unit": unit,
+                      "backend": jax.default_backend(), **extra}), flush=True)
+
+
+def _scene(n_faces, b=1, radius=3.0):
+    if n_faces >= 4096:
+        verts, faces = triangle_soup(n_faces, size=0.02)
+    else:
+        verts, faces = icosphere(3)  # 1280 faces
+    mv, proj = orbit_cameras(b, radius=radius)
+    f = faces.shape[0]
+    return dict(
+        verts=jnp.asarray(verts), faces=jnp.asarray(faces),
+        vc=jnp.abs(jnp.asarray(verts)) % 1.0,
+        op=jnp.full((f,), 0.5, jnp.float32),
+        it=jnp.ones((b, f), jnp.float32),
+        mv=jnp.asarray(mv), proj=jnp.asarray(proj),
+        bg=jnp.zeros((3,), jnp.float32),
+    )
+
+
+def config1():
+    """Renderer forward-only: icosphere ~1k tris, 256x256, no AA."""
+    s = _scene(1280)
+    hw, cfg = 256, _cfg(1 << 16)
+
+    @jax.jit
+    def fwd(verts, vc, op, it):
+        c, d, _ = render(verts, s["faces"], vc, op, it, s["mv"], s["proj"],
+                         s["bg"], hw, hw, 0.0, cfg)
+        return c, d
+
+    dt = _time(fwd, s["verts"], s["vc"], s["op"], s["it"])
+    _emit("1_fwd_icosphere_256", hw * hw / dt / 1e6, "Mpix/s",
+          ms_per_iter=round(dt * 1e3, 2))
+
+
+def config2():
+    """Renderer fwd+bwd: 512x512 with AA gradients."""
+    s = _scene(1280)
+    hw, cfg = 512, _cfg(1 << 17)
+
+    def loss(verts, vc, op):
+        c, d, _ = render(verts, s["faces"], vc, op, s["it"], s["mv"], s["proj"],
+                         s["bg"], hw, hw, 1.0, cfg)
+        return jnp.sum(c) + jnp.sum(d)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    dt = _time(g, s["verts"], s["vc"], s["op"])
+    _emit("2_fwdbwd_aa_512", hw * hw / dt / 1e6, "Mpix/s",
+          ms_per_iter=round(dt * 1e3, 2))
+
+
+def config3():
+    """LayeredRenderer: 8-layer depth peeling, 512x512."""
+    verts, tets, faces, face_tets, tet_faces = tet_grid(res=6)
+    mv, proj = orbit_cameras(1)
+    hw = 512
+    lr = LayeredRenderer(mv, proj, hw, hw, config=_cfg(1 << 19))
+    exist = np.ones(faces.shape[0], np.int32)
+    idx = jnp.array([0])
+
+    def gen():
+        return lr.generate(idx, verts, faces, tets, face_tets, tet_faces,
+                           exist, num_layers=8)
+
+    dt = _time(gen)
+    _emit("3_peel8_512", hw * hw / dt / 1e6, "Mpix/s",
+          ms_per_iter=round(dt * 1e3, 2), faces=int(faces.shape[0]))
+
+
+def config4():
+    """Large scene: 1M-triangle soup at 1920x1080, fwd+bwd."""
+    s = _scene(1_000_000)
+    w, h, cfg = 1920, 1080, _cfg(1 << 23)
+
+    def loss(verts, vc, op, it):
+        c, d, _ = render(verts, s["faces"], vc, op, it, s["mv"], s["proj"],
+                         s["bg"], w, h, 1.0, cfg)
+        return jnp.sum(c) + jnp.sum(d)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    dt = _time(g, s["verts"], s["vc"], s["op"], s["it"])
+    _emit("4_fwdbwd_1M_1080p", w * h / dt / 1e6, "Mpix/s",
+          ms_per_iter=round(dt * 1e3, 2))
+
+
+def config5():
+    """End-to-end 64-view optimization loop (steps/s), 256x256."""
+    import optax
+    from jax.sharding import Mesh
+
+    n_dev = len(jax.devices())
+    b = 64
+    hw = 256
+    verts, faces = icosphere(3)
+    mv, proj = orbit_cameras(b)
+    f = faces.shape[0]
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    params = SceneParams(
+        verts=jnp.asarray(verts),
+        verts_color=jnp.abs(jnp.asarray(verts)) % 1.0,
+        faces_opacity=jnp.full((f,), 0.5, jnp.float32),
+    )
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    step = make_sharded_train_step(
+        mesh, optimizer, jnp.asarray(faces), hw, hw, aa_temperature=1.0,
+        config=_cfg(1 << 20),
+    )
+    it = jnp.ones((b, f), jnp.float32)
+    target = jnp.zeros((b, hw, hw, 3), jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
+
+    def one(params, opt_state):
+        return step(params, opt_state, it, jnp.asarray(mv), jnp.asarray(proj),
+                    target, bg)
+
+    p, o, l = one(params, opt_state)
+    _force(l)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        p, o, l = one(p, o)
+    _force(l)
+    dt = (time.perf_counter() - t0) / ITERS
+    _emit("5_e2e_64view_opt", 1.0 / dt, "steps/s",
+          ms_per_step=round(dt * 1e3, 2), n_devices=n_dev)
+
+
+if __name__ == "__main__":
+    picks = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for k in picks:
+        fns[k]()

@@ -36,6 +36,10 @@ class LayeredRenderer(Renderer):
     ):
         """Returns (render_layers (B, H, W, L) int32 face IDs, -1 padded,
         render_layers_cnt (B, H, W) int32)."""
+        from dmesh2_renderer_tpu.utils.validate import check_layered_args
+
+        check_layered_args(verts, faces, tets, face_tets, tet_faces,
+                           faces_existence)
         del tets, face_tets, tet_faces  # peel needs no adjacency
         batch_mvp_idx = jnp.asarray(batch_mvp_idx, dtype=jnp.int32)
         verts = jnp.asarray(verts, dtype=jnp.float32)

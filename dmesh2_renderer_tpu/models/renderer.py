@@ -25,11 +25,13 @@ import jax.numpy as jnp
 from dmesh2_renderer_tpu import geometry as G
 from dmesh2_renderer_tpu.ops.rasterize import make_rasterizer
 from dmesh2_renderer_tpu.utils.config import RasterConfig
+from dmesh2_renderer_tpu.utils.validate import check_cameras, check_render_args
 
 
 class Renderer:
     def __init__(self, mv, proj, width, height, device=None,
                  aa_grad_buffer_size: int = 20, config: RasterConfig | None = None):
+        check_cameras(mv, proj)
         self.mv = jnp.asarray(mv, dtype=jnp.float32)          # (B, 4, 4)
         self.proj = jnp.asarray(proj, dtype=jnp.float32)      # (B, 4, 4)
         self.width = int(width)
@@ -64,6 +66,10 @@ class Renderer:
         larger = nearer -- the reference's remap, __init__.py:377-378)."""
         batch_mvp_idx = jnp.asarray(batch_mvp_idx, dtype=jnp.int32)
         batch_patch_min = jnp.asarray(batch_patch_min, dtype=jnp.int32)
+        check_render_args(
+            verts, faces, verts_color, faces_opacity, faces_intense,
+            background, batch_mvp_idx.shape[0], aa_temperature,
+        )
         verts = jnp.asarray(verts, dtype=jnp.float32)
         faces = jnp.asarray(faces, dtype=jnp.int32)
 

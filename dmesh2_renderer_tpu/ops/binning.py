@@ -5,20 +5,25 @@ key/value buffer: prefix-sum of touched-tile counts, a blocking device->host
 readback of the total, buffer allocation, 64-bit key duplication and a CUB
 radix sort (``cuda_impl/renderer.cu:150-219, 415-492``). XLA cannot allocate
 data-dependent buffers inside jit, so this module re-expresses the pipeline
-with static shapes:
+with static shapes -- and, because XLA TPU scatters cost ~50x more than
+sorts of the same size (measured), strictly scatter-free:
 
   * touched-tile rects      -> vectorized over (B, F)     (forward.cu:16-108)
-  * prefix sum              -> ``jnp.cumsum``             (renderer.cu:165-171)
-  * key duplication         -> masked scatter at a static capacity R with
-                               out-of-capacity entries dropped (overflow is
-                               *reported*, mirroring the reference's explicit
-                               buffer-overflow philosophy, backward.cu:254-257)
-  * 64-bit (tile|depth) radix sort -> stable two-key lexicographic
-                               ``lax.sort`` on (int32 tile, f32 depth in [0,1]);
-                               the reference's float-bits-monotone trick
-                               (renderer.cu:456-459) is unnecessary because
-                               lax.sort orders floats natively
-  * identifyTileRanges      -> vectorized ``searchsorted`` on the sorted keys
+  * key duplication + sort  -> ONE sort of the dense (BF * Kt) emission grid
+                               on a packed int32 (tile | quantized-depth) key
+                               with the (b*F + f) entry id as payload; empty
+                               slots carry a sentinel key and sort to the end
+                               (the reference's 64-bit float-bits key,
+                               renderer.cu:456-459, becomes tile<<bits_d |
+                               depth * 2^bits_d -- the global depth test is
+                               approximate by design, so quantized sort depth
+                               changes nothing structural)
+  * identifyTileRanges      -> ``searchsorted`` of the T tile boundaries in
+                               the sorted keys (T queries, not R)
+  * dynamic num_rendered    -> static capacity R; entries past R are dropped
+                               and *reported* (mirroring the reference's
+                               explicit buffer-overflow philosophy,
+                               backward.cu:254-257)
 
 The sorted entries are then *pre-gathered* into a dense face-record table
 ("face stream"): one XLA gather converts the compositing kernels' random
@@ -27,11 +32,11 @@ reference's per-block shared-memory staging of face data
 (``forward.cu:262-304``).
 
 Stream layout: Mosaic can only DMA-slice HBM arrays whose minor dimension is
-a multiple of the 128-lane tiling, so the (R, 32) record table is stored as
-field-major 128-entry blocks (NB, 32, 128) -- block k holds entries
-[128k, 128(k+1)), field f on sublane f -- and every tile's entry segment is
-aligned to a 128-entry boundary (sentinel-padded). Kernels DMA whole blocks
-and transpose (32, 128) -> (128, 32) in VMEM.
+a multiple of the 128-lane tiling, so the (R, W) record table is stored as
+field-major 128-entry blocks (R/128, W, 128) -- block k holds entries
+[128k, 128(k+1)), field f on sublane f. Tile segments are NOT aligned to
+block boundaries; kernels DMA whole blocks and mask the head/tail rows that
+belong to neighboring tiles (see pallas_fwd/pallas_bwd).
 """
 
 from __future__ import annotations
@@ -42,7 +47,6 @@ import jax
 import jax.numpy as jnp
 
 from dmesh2_renderer_tpu.utils.config import (
-    FACE_RECORD_WIDTH,
     STREAM_BLOCK,
     TILE_X,
     TILE_Y,
@@ -50,10 +54,10 @@ from dmesh2_renderer_tpu.utils.config import (
 
 
 class Binning(NamedTuple):
-    entry_bf: jnp.ndarray      # (Ra,) int32, b*F+f per entry (sentinel BF);
-                               # tile segments 128-aligned, sentinel-padded
+    entry_bf: jnp.ndarray      # (R,) int32, b*F+f per sorted entry (sentinel
+                               # BF); segments contiguous, UNALIGNED starts
     tile_starts: jnp.ndarray   # (T_total,) int32 offsets into entry_bf
-    tile_counts: jnp.ndarray   # (T_total,) int32 (excludes alignment padding)
+    tile_counts: jnp.ndarray   # (T_total,) int32
     num_rendered: jnp.ndarray  # () int32: true duplicated-instance count
     num_truncated: jnp.ndarray  # () int32: instances dropped by Kt / capacity
 
@@ -82,6 +86,10 @@ def face_tile_rects(aa_face_verts, patch_min, gx: int, gy: int):
     return rx0, ry0, jnp.maximum(rx1 - rx0, 0), jnp.maximum(ry1 - ry0, 0)
 
 
+def _ceil_log2(n: int) -> int:
+    return max(1, (n - 1).bit_length())
+
+
 def bin_faces(
     aa_face_verts,   # (B, F, 3, 2) screen-space triangles
     depth01,         # (B, F) sort depth in [0, 1]
@@ -102,11 +110,10 @@ def bin_faces(
     rx0, ry0, rw, rh = face_tile_rects(aa_face_verts, patch_min, gx, gy)
     touched = jnp.where(alive, rw * rh, 0).reshape(bf)               # (BF,)
     emit = jnp.minimum(touched, kt)
-
-    offsets = jnp.cumsum(emit) - emit                                 # exclusive
     num_rendered = jnp.sum(touched)
-    num_truncated = jnp.sum(touched - emit) + jnp.maximum(
-        offsets[-1] + emit[-1] - capacity, 0
+    num_emitted = jnp.sum(emit)
+    num_truncated = num_rendered - num_emitted + jnp.maximum(
+        num_emitted - capacity, 0
     )
 
     # Emission grid (BF, Kt): k-th touched tile of each face, y-major order
@@ -119,50 +126,42 @@ def bin_faces(
     tile_y = ry0.reshape(bf, 1) + dy
     batch_of = (jnp.arange(bf, dtype=jnp.int32) // f)[:, None]
     tile_id = batch_of * (gx * gy) + tile_y * gx + tile_x             # (BF, Kt)
-
     valid = k < emit[:, None]
-    pos = jnp.where(valid, offsets[:, None] + k, capacity)            # drop slot
 
-    flat_pos = pos.reshape(-1)
-    flat_tile = tile_id.reshape(-1)
-    flat_depth = jnp.broadcast_to(depth01.reshape(bf, 1), (bf, kt)).reshape(-1)
-    flat_bf = jnp.broadcast_to(
+    # Packed int31 sort key: tile in the high bits, quantized depth below.
+    # The reference packs (tile << 32 | float_bits(depth)) into 64 bits
+    # (renderer.cu:456-459); 64-bit sorts lower poorly on TPU, and the depth
+    # test is approximate (per-face mean z) by design, so bits_d levels of
+    # depth resolution are behaviorally equivalent.
+    bits_t = _ceil_log2(t_total + 1)
+    bits_d = 31 - bits_t
+    assert bits_d >= 10, (
+        f"tile grid too large for packed sort keys ({t_total} tiles); "
+        "shard views across chips instead"
+    )
+    dq = jnp.clip((depth01.reshape(bf, 1) * ((1 << bits_d) - 1)), 0, (1 << bits_d) - 1)
+    key = jnp.where(
+        valid,
+        (tile_id << bits_d) | dq.astype(jnp.int32),
+        jnp.int32(0x7FFFFFFF),
+    )
+    payload = jnp.broadcast_to(
         jnp.arange(bf, dtype=jnp.int32)[:, None], (bf, kt)
-    ).reshape(-1)
-
-    tile_keys = jnp.full((capacity,), t_total, dtype=jnp.int32)
-    depth_keys = jnp.full((capacity,), jnp.inf, dtype=depth01.dtype)
-    entries = jnp.full((capacity,), bf, dtype=jnp.int32)
-    tile_keys = tile_keys.at[flat_pos].set(flat_tile, mode="drop")
-    depth_keys = depth_keys.at[flat_pos].set(flat_depth, mode="drop")
-    entries = entries.at[flat_pos].set(flat_bf, mode="drop")
-
-    tile_sorted, _, entry_sorted = jax.lax.sort(
-        (tile_keys, depth_keys, entries), dimension=0, num_keys=2, is_stable=True
     )
 
-    tiles = jnp.arange(t_total, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_sorted, tiles, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_sorted, tiles, side="right").astype(jnp.int32)
-    counts = ends - starts
+    key_sorted, entry_sorted = jax.lax.sort(
+        (key.reshape(-1), payload.reshape(-1)), num_keys=1, is_stable=True
+    )
+    key_sorted = key_sorted[:capacity]
+    entry_bf = jnp.where(key_sorted != jnp.int32(0x7FFFFFFF),
+                         entry_sorted[:capacity], bf)
 
-    # Re-lay the sorted list with every tile segment 128-entry aligned
-    # (required for whole-block stream DMA; see module docstring). Gaps are
-    # sentinel entries that the kernels mask via tile_counts.
-    blk = STREAM_BLOCK
-    padded = ((counts + blk - 1) // blk) * blk
-    new_starts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-    r_aligned = capacity + blk * t_total
-    idx = jnp.arange(capacity, dtype=jnp.int32)
-    in_tile = tile_sorted < t_total
-    safe_tile = jnp.minimum(tile_sorted, t_total - 1)
-    new_pos = jnp.where(
-        in_tile, new_starts[safe_tile] + (idx - starts[safe_tile]), r_aligned
-    )
-    entry_aligned = jnp.full((r_aligned,), bf, dtype=jnp.int32).at[new_pos].set(
-        entry_sorted, mode="drop"
-    )
-    return Binning(entry_aligned, new_starts, counts, num_rendered, num_truncated)
+    # Tile ranges: T boundary queries into the sorted keys.
+    bounds = (jnp.arange(t_total + 1, dtype=jnp.int32) << bits_d)
+    edges = jnp.searchsorted(key_sorted, bounds, side="left").astype(jnp.int32)
+    starts = edges[:-1]
+    counts = edges[1:] - starts
+    return Binning(entry_bf, starts, counts, num_rendered, num_truncated)
 
 
 # Face-stream record layout (FACE_RECORD_WIDTH = 32 f32 words per entry):
@@ -181,6 +180,52 @@ REC_IN = 22
 REC_AA = 23
 
 
+def build_face_table(
+    verts,           # (P, 3)
+    faces,           # (F, 3) int32
+    verts_color,     # (P, 3)
+    faces_opacity,   # (F,)
+    verts_ndc,       # (B, P, 3)
+    faces_intense,   # (B, F)
+    aa_face_verts,   # (B, F, 3, 2)
+):
+    """Per-(batch, face) record table as FOUR contiguous (B*F, 8) arrays.
+
+    All gathers here are F-sized (faces -> verts), not R-sized; the R-sized
+    access is the row gather in :func:`gather_stream`, which is 4x faster on
+    8-wide contiguous tables than on one 32-wide table (measured) -- hence
+    the split storage.
+    """
+    b = verts_ndc.shape[0]
+    f = faces.shape[0]
+    vid = faces  # (F, 3)
+    v = verts[vid].reshape(f, 9)                                  # (F, 9)
+    c = verts_color[vid].reshape(f, 9)
+    z = verts_ndc[:, :, 2][:, vid]                                # (B, F, 3)
+    op = jnp.broadcast_to(faces_opacity[None, :, None], (b, f, 1))
+    it = faces_intense[:, :, None]
+    aa = aa_face_verts.reshape(b, f, 6)
+    vb = jnp.broadcast_to(v[None], (b, f, 9))
+    cb = jnp.broadcast_to(c[None], (b, f, 9))
+    pad = jnp.zeros((b, f, 3), v.dtype)
+    flat = jnp.concatenate([vb, cb, z, op, it, aa, pad], axis=2).reshape(b * f, 32)
+    return tuple(flat[:, 8 * k:8 * (k + 1)] for k in range(4))
+
+
+def gather_stream(face_table, entry_bf):
+    """(R,) sorted entries -> (R/128, 32, 128) field-major DMA blocks.
+
+    Four 8-wide row gathers from the split (B*F, 8) tables (sentinel entries
+    read row 0 and are masked by tile_counts in the kernels), emitted
+    directly in the blocked field-major layout the kernels DMA.
+    """
+    r = entry_bf.shape[0]
+    nb = r // STREAM_BLOCK
+    safe = jnp.minimum(entry_bf, face_table[0].shape[0] - 1)
+    rows = jnp.concatenate([t[safe] for t in face_table], axis=1)
+    return rows.reshape(nb, STREAM_BLOCK, 32).transpose(0, 2, 1)
+
+
 def pack_face_stream(
     entry_bf,        # (R,) int32 sorted entries (sentinel = B*F)
     verts,           # (P, 3)
@@ -191,22 +236,12 @@ def pack_face_stream(
     faces_intense,   # (B, F)
     aa_face_verts,   # (B, F, 3, 2)
 ):
-    """Gather per-entry face records into a dense (R, 32) f32 table."""
-    f = faces.shape[0]
-    r = entry_bf.shape[0]
-    safe = jnp.minimum(entry_bf, f * verts_ndc.shape[0] - 1)
-    bi = safe // f
-    fi = safe - bi * f
-    vid = faces[fi]                                  # (R, 3)
-    v = verts[vid].reshape(r, 9)
-    c = verts_color[vid].reshape(r, 9)
-    z = verts_ndc[bi[:, None], vid, 2]               # (R, 3)
-    op = faces_opacity[fi][:, None]
-    it = faces_intense[bi, fi][:, None]
-    aa = aa_face_verts[bi, fi].reshape(r, 6)
-    pad = jnp.zeros((r, FACE_RECORD_WIDTH - 29), dtype=v.dtype)
-    flat = jnp.concatenate([v, c, z, op, it, aa, pad], axis=1)
-    return block_stream(flat)
+    """Gather per-entry face records into (R/128, 32, 128) DMA blocks."""
+    table = build_face_table(
+        verts, faces, verts_color, faces_opacity, verts_ndc, faces_intense,
+        aa_face_verts,
+    )
+    return gather_stream(table, entry_bf)
 
 
 def block_stream(flat):

@@ -56,7 +56,7 @@ from dmesh2_renderer_tpu.ops.pallas_fwd import (
 
 def _bwd_kernel(
     # scalar prefetch
-    starts_ref, counts_ref, pm_ref, ray_o_ref,
+    starts_ref, counts_ref, pm_ref, ray_o_ref, ncmax_ref,
     # inputs
     stream_ref,   # (NB, 32, 128) HBM field-major blocks
     ray_d_ref,    # (1, 4, 256) VMEM block
@@ -68,6 +68,7 @@ def _bwd_kernel(
     # scratch
     buf_ref,      # (32, 128) VMEM: one stream block
     grad_ref,     # (32, 128) VMEM: one gradient block
+    old_ref,      # (32, 128) VMEM: previous tile's records in a shared block
     sem_in,
     sem_out,
     *,
@@ -83,8 +84,10 @@ def _bwd_kernel(
     ty = rem // grid_x
     tx = rem - ty * grid_x
 
-    start_blk = starts_ref[t] // chunk  # starts are 128-entry aligned
+    start = starts_ref[t]
     count = counts_ref[t]
+    blk0 = start // chunk
+    h0 = start - blk0 * chunk  # head rows in the first block: previous tile
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
     xx = lane % TILE_X
@@ -115,18 +118,25 @@ def _bwd_kernel(
         + bg_ref[0:1, 2:3] * g_b + g_d
     )
 
-    nchunks = pl.cdiv(count, chunk)
+    nblocks = pl.cdiv(count + h0, chunk)
+    # Blocks containing any contributing rank (< per-tile max n_contrib from
+    # the forward pass) get the full gradient evaluation; the rest only write
+    # zeros -- the tile-level analogue of the reference's per-pixel n_contrib
+    # skip (backward.cu:219-221). Block 0 always runs so the head merge below
+    # happens even for saturated tiles.
+    nactive = jnp.minimum(pl.cdiv(ncmax_ref[t] + h0, chunk), nblocks)
+    n_heavy = jnp.minimum(jnp.maximum(nactive, 1), nblocks)
 
     def chunk_body(i, carry):
         t_run, p_r, p_g, p_b, p_d = carry
-        copy = pltpu.make_async_copy(stream_ref.at[start_blk + i], buf_ref, sem_in)
+        copy = pltpu.make_async_copy(stream_ref.at[blk0 + i], buf_ref, sem_in)
         copy.start()
         copy.wait()
         buf = buf_ref[:, :].T
-        n_valid = count - i * chunk
+        rank0 = i * chunk - h0
 
         q = chunk_face_quantities(
-            buf, n_valid, rdx, rdy, rdz, ox, oy, oz, px0, py0, aa_temperature
+            buf, rank0, count, rdx, rdy, rdz, ox, oy, oz, px0, py0, aa_temperature
         )
 
         # --- prefix-scan blend replay: T_before and post-blend prefixes ---
@@ -291,10 +301,21 @@ def _bwd_kernel(
             + [jnp.zeros((chunk, GRAD_RECORD_WIDTH - 29), jnp.float32)],
             axis=1,
         )
-        grad_ref[:, :] = rec.T
-        out_copy = pltpu.make_async_copy(
-            grad_ref, gout_ref.at[start_blk + i], sem_out
+        out_block = rec.T
+        # Head merge: the first block's leading rows hold the PREVIOUS tile's
+        # gradient records (tile starts are unaligned); grid programs run
+        # sequentially in tile order, so read-modify-write preserves them.
+        @pl.when(i == 0)
+        def _():
+            rd = pltpu.make_async_copy(gout_ref.at[blk0], old_ref, sem_out)
+            rd.start()
+            rd.wait()
+        lane_rank = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + rank0
         )
+        out_block = jnp.where(lane_rank < 0, old_ref[:, :], out_block)
+        grad_ref[:, :] = out_block
+        out_copy = pltpu.make_async_copy(grad_ref, gout_ref.at[blk0 + i], sem_out)
         out_copy.start()
         out_copy.wait()
         return t_out, pa_r[chunk - 1:chunk, :], pa_g[chunk - 1:chunk, :], \
@@ -302,7 +323,18 @@ def _bwd_kernel(
 
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
-    jax.lax.fori_loop(0, nchunks, chunk_body, (ones, zeros, zeros, zeros, zeros))
+    jax.lax.fori_loop(0, n_heavy, chunk_body, (ones, zeros, zeros, zeros, zeros))
+
+    # Saturated tail blocks: every rank here is past the last contributor,
+    # so all gradient records are zero -- skip the evaluation entirely.
+    def zero_body(i, _):
+        grad_ref[:, :] = jnp.zeros((GRAD_RECORD_WIDTH, chunk), jnp.float32)
+        cp = pltpu.make_async_copy(grad_ref, gout_ref.at[blk0 + i], sem_out)
+        cp.start()
+        cp.wait()
+        return 0
+
+    jax.lax.fori_loop(n_heavy, nblocks, zero_body, 0)
 
 
 @functools.partial(
@@ -313,6 +345,7 @@ def composite_backward(
     face_stream,   # (NB, 32, 128) field-major blocks (binning.block_stream)
     tile_starts,   # (T_total,)
     tile_counts,   # (T_total,)
+    nc_tile,       # (T_total,) per-tile max contributor rank (fwd output)
     ray_o_cam,     # (B, 3)
     ray_d,         # (B, H, W, 3)
     background,    # (3,)
@@ -359,7 +392,7 @@ def composite_backward(
         _bwd_kernel, grid_x=gx, grid_y=gy, chunk=chunk, aa_temperature=aa_temperature
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(t_total,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),                      # stream
@@ -375,6 +408,7 @@ def composite_backward(
         scratch_shapes=[
             pltpu.VMEM((FACE_RECORD_WIDTH, chunk), jnp.float32),
             pltpu.VMEM((GRAD_RECORD_WIDTH, chunk), jnp.float32),
+            pltpu.VMEM((GRAD_RECORD_WIDTH, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -384,10 +418,16 @@ def composite_backward(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, GRAD_RECORD_WIDTH, chunk), jnp.float32),
         interpret=interpret,
-    )(tile_starts, tile_counts, pm_flat, ray_o_flat, stream, ray_d_t, gin_t, res_t, bg4)
+    )(tile_starts, tile_counts, pm_flat, ray_o_flat,
+      nc_tile.astype(jnp.int32), stream, ray_d_t, gin_t, res_t, bg4)
     from dmesh2_renderer_tpu.ops.binning import unblock_stream
 
     return unblock_stream(gout)
+
+
+def _shift_rows(x, s, fill):
+    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[: x.shape[0] - s]], axis=0)
 
 
 def scatter_entry_grads(
@@ -396,33 +436,70 @@ def scatter_entry_grads(
     faces,         # (F, 3) int32
     n_verts: int,
     n_batch: int,
+    max_tiles_per_face: int = 64,
 ):
-    """Deterministic segment-sum scatter of per-entry grads to input tensors.
+    """Deterministic reduction of per-entry grads to the six input tensors.
 
     The TPU replacement for the CUDA atomicAdd aggregation
-    (backward.cu:495-529): XLA scatter-add is deterministic on TPU, so
-    gradients are bitwise reproducible run to run.
+    (backward.cu:495-529). XLA TPU scatters cost ~50x a sort of the same
+    size (measured), so no R-sized scatter is used: entries are SORTED by
+    (batch, face) id -- each face's <= Kt tile duplicates become a contiguous
+    segment -- then segment-summed with a log2(Kt)-step segmented
+    Hillis-Steele scan (numerically local: no global prefix sums), and the
+    per-face totals are gathered at each segment's last row. Only F-sized
+    scatters remain (faces -> shared vertices). Fully deterministic.
 
     Returns (d_verts (P,3), d_verts_color (P,3), d_faces_opacity (F,),
     d_verts_ndc_z (B,P), d_faces_intense (B,F), d_aa_face_verts (B,F,3,2)).
     """
+    r = grad_records.shape[0]
     f = faces.shape[0]
     bf = n_batch * f
-    valid = entry_bf < bf
-    rec = jnp.where(valid[:, None], grad_records, 0.0)
-    safe = jnp.minimum(entry_bf, bf - 1)
-    bi = safe // f
-    fi = safe - bi * f
-    vids = faces[fi]  # (R, 3)
 
-    d_verts = jnp.zeros((n_verts, 3), rec.dtype)
-    d_vcolor = jnp.zeros((n_verts, 3), rec.dtype)
-    d_vndc_z = jnp.zeros((n_batch, n_verts), rec.dtype)
+    # Sort grads by entry id; sentinel/garbage rows (id == BF, including the
+    # never-written tail past the last tile) sort to the end and are dropped
+    # by the mode='drop' scatters below. Sorting (key, iota) and applying the
+    # permutation with a split row gather is far cheaper to compile and run
+    # than carrying 29 payload columns through the sort. NaN garbage is
+    # masked to zero before the scan so it cannot poison real segments.
+    sbf, perm = jax.lax.sort(
+        (entry_bf, jnp.arange(r, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    rec = grad_records[perm][:, :29]
+    rec = jnp.where((sbf < bf)[:, None], rec, 0.0)
+
+    # Segmented inclusive prefix sum along rows: segments are runs of equal
+    # sbf, each of length <= Kt by construction (a face is binned into at
+    # most Kt tiles), so log2(Kt) shifted masked adds suffice.
+    acc = rec
+    s = 1
+    while s < max_tiles_per_face:
+        same = (_shift_rows(sbf[:, None], s, -1) == sbf[:, None])
+        acc = acc + jnp.where(same, _shift_rows(acc, s, 0.0), 0.0)
+        s *= 2
+
+    # Last row of each segment holds the full segment sum.
+    pos = jnp.arange(r, dtype=jnp.int32)
+    last = jnp.full((bf,), -1, jnp.int32).at[
+        jnp.minimum(sbf, bf)
+    ].max(pos, mode="drop")                                   # narrow scatter
+    have = last >= 0
+    d_face = jnp.where(
+        have[:, None], acc[jnp.maximum(last, 0)], 0.0
+    ).reshape(n_batch, f, 29)
+
+    # F-sized tail: fan per-face grads out to shared tensors.
+    d_fsum = d_face.sum(axis=0)                               # (F, 29)
+    d_verts = jnp.zeros((n_verts, 3), jnp.float32)
+    d_vcolor = jnp.zeros((n_verts, 3), jnp.float32)
+    d_vndc_z = jnp.zeros((n_batch, n_verts), jnp.float32)
+    bidx = jnp.arange(n_batch, dtype=jnp.int32)[:, None]
     for k in range(3):
-        d_verts = d_verts.at[vids[:, k]].add(rec[:, REC_V + 3 * k:REC_V + 3 * k + 3])
-        d_vcolor = d_vcolor.at[vids[:, k]].add(rec[:, REC_C + 3 * k:REC_C + 3 * k + 3])
-        d_vndc_z = d_vndc_z.at[bi, vids[:, k]].add(rec[:, REC_Z + k])
-    d_op = jnp.zeros((f,), rec.dtype).at[fi].add(rec[:, REC_OP])
-    d_int = jnp.zeros((n_batch, f), rec.dtype).at[bi, fi].add(rec[:, REC_IN])
-    d_aa = jnp.zeros((n_batch, f, 6), rec.dtype).at[bi, fi].add(rec[:, REC_AA:REC_AA + 6])
-    return d_verts, d_vcolor, d_op, d_vndc_z, d_int, d_aa.reshape(n_batch, f, 3, 2)
+        vk = faces[:, k]
+        d_verts = d_verts.at[vk].add(d_fsum[:, REC_V + 3 * k:REC_V + 3 * k + 3])
+        d_vcolor = d_vcolor.at[vk].add(d_fsum[:, REC_C + 3 * k:REC_C + 3 * k + 3])
+        d_vndc_z = d_vndc_z.at[bidx, vk[None, :]].add(d_face[:, :, REC_Z + k])
+    d_op = d_fsum[:, REC_OP]
+    d_int = d_face[:, :, REC_IN]
+    d_aa = d_face[:, :, REC_AA:REC_AA + 6].reshape(n_batch, f, 3, 2)
+    return d_verts, d_vcolor, d_op, d_vndc_z, d_int, d_aa

@@ -81,15 +81,19 @@ class ChunkQuantities(NamedTuple):
     i_d: jnp.ndarray       # interpolated NDC depth
 
 
-def chunk_face_quantities(buf, n_valid, rdx, rdy, rdz, ox, oy, oz,
+def chunk_face_quantities(buf, rank0, count, rdx, rdy, rdz, ox, oy, oz,
                           px0, py0, aa_temperature) -> ChunkQuantities:
     """Vectorized per-(face, pixel) blending quantities for one chunk.
 
     Args:
       buf: (C, 32) face records.
-      n_valid: scalar count of valid rows in this chunk.
+      rank0: scalar rank (index within this tile's entry list) of row 0;
+        may be negative in a tile's first block (unaligned tile starts --
+        head rows belong to the previous tile).
+      count: scalar tile entry count; rows with rank outside [0, count)
+        are masked out.
       rdx, rdy, rdz: (1, N) ray directions.
-      ox, oy, oz: (1, 1) ray origin (camera position for this batch).
+      ox, oy, oz: scalar ray origin (camera position for this batch).
       px0, py0: (1, N) pixel box min corner in image coordinates.
       aa_temperature: static python float.
 
@@ -98,8 +102,8 @@ def chunk_face_quantities(buf, n_valid, rdx, rdy, rdz, ox, oy, oz,
     """
     c = buf.shape[0]
     dt = buf.dtype
-    row = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
-    in_range = (row < n_valid).astype(dt)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0) + rank0
+    in_range = ((rank >= 0) & (rank < count)).astype(dt)
 
     v0x, v0y, v0z = _col(buf, REC_V + 0), _col(buf, REC_V + 1), _col(buf, REC_V + 2)
     v1x, v1y, v1z = _col(buf, REC_V + 3), _col(buf, REC_V + 4), _col(buf, REC_V + 5)
@@ -259,8 +263,10 @@ def _fwd_kernel(
     ty = rem // grid_x
     tx = rem - ty * grid_x
 
-    start_blk = starts_ref[t] // chunk  # starts are 128-entry aligned
+    start = starts_ref[t]
     count = counts_ref[t]
+    blk0 = start // chunk
+    h0 = start - blk0 * chunk  # head rows in the first block: previous tile
 
     # Pixel box min corners in image coordinates (forward.cu:319-323).
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
@@ -276,17 +282,17 @@ def _fwd_kernel(
     oy = ray_o_ref[3 * b + 1]
     oz = ray_o_ref[3 * b + 2]
 
-    nchunks = pl.cdiv(count, chunk)
+    nblocks = pl.cdiv(count + h0, chunk)
 
     def chunk_body(state):
         i, t_run, pt_run, cr, cg, cb, cd, nc = state
-        copy = pltpu.make_async_copy(stream_ref.at[start_blk + i], buf_ref, sem)
+        copy = pltpu.make_async_copy(stream_ref.at[blk0 + i], buf_ref, sem)
         copy.start()
         copy.wait()
-        n_valid = count - i * chunk
+        rank0 = i * chunk - h0
 
         q = chunk_face_quantities(
-            buf_ref[:, :].T, n_valid, rdx, rdy, rdz, ox, oy, oz,
+            buf_ref[:, :].T, rank0, count, rdx, rdy, rdz, ox, oy, oz,
             px0, py0, aa_temperature,
         )
         tb, active, _a_eff, w, t_out = blend_scan(q.passes, q.alpha, t_run)
@@ -297,10 +303,10 @@ def _fwd_kernel(
         # prev_T = T before the last blended face (backward.cu:396-401).
         m = jnp.min(jnp.where(active, tb, 2.0), axis=0, keepdims=True)
         pt_run = jnp.where(m < 1.5, m, pt_run)
-        # n_contrib = 1-based index of the last blended face.
+        # n_contrib = 1-based rank of the last blended face.
         rowf = (
             jax.lax.broadcasted_iota(jnp.int32, active.shape, 0).astype(jnp.float32)
-            + (i * chunk + 1).astype(jnp.float32)
+            + (rank0 + 1).astype(jnp.float32)
         )
         nc = jnp.maximum(
             nc, jnp.max(jnp.where(active, rowf, 0.0), axis=0, keepdims=True)
@@ -309,7 +315,7 @@ def _fwd_kernel(
 
     def chunk_cond(state):
         i, t_run = state[0], state[1]
-        return (i < nchunks) & (jnp.max(t_run) >= T_EPS)
+        return (i < nblocks) & (jnp.max(t_run) >= T_EPS)
 
     zeros = jnp.zeros((1, TILE_PIXELS), dtype=jnp.float32)
     ones = jnp.ones((1, TILE_PIXELS), dtype=jnp.float32)
@@ -385,7 +391,10 @@ def composite_forward(
     interpret: bool = False,
 ):
     """Run the forward compositor. Returns (color, depth, final_T, prev_T,
-    n_contrib) shaped (B, H, W[, 3])."""
+    n_contrib, nc_tile) -- the first five shaped (B, H, W[, 3]); nc_tile is
+    the (T_total,) per-tile max contributor rank, used by the backward pass
+    to skip fully-saturated face blocks (the analogue of the reference's
+    per-pixel n_contrib skip, backward.cu:219-221, hoisted to tile level)."""
     b, h, w, _ = ray_d.shape
     gx = -(-patch_width // TILE_X)
     gy = -(-patch_height // TILE_Y)
@@ -438,4 +447,5 @@ def composite_forward(
     final_t = untile(out[:, OUT_T, :], b, h, w, gx, gy)
     prev_t = untile(out[:, OUT_PT, :], b, h, w, gx, gy)
     n_contrib = untile(out[:, OUT_NC, :], b, h, w, gx, gy).astype(jnp.int32)
-    return color, depth, final_t, prev_t, n_contrib
+    nc_tile = jnp.max(out[:, OUT_NC, :], axis=1).astype(jnp.int32)
+    return color, depth, final_t, prev_t, n_contrib, nc_tile

@@ -78,8 +78,10 @@ def _peel_kernel(
     num_layers: int,
 ):
     t = pl.program_id(0)
-    start_blk = starts_ref[t] // chunk  # starts are 128-entry aligned
+    start = starts_ref[t]
     count = counts_ref[t]
+    blk0 = start // chunk
+    h0 = start - blk0 * chunk  # head rows in the first block: previous tile
 
     t_b = t // tiles_per_batch
     rdx = ray_d_ref[0, 0:1, :]
@@ -89,18 +91,17 @@ def _peel_kernel(
     oy = ray_o_ref[3 * t_b + 1]
     oz = ray_o_ref[3 * t_b + 2]
 
-    nchunks = pl.cdiv(count, chunk)
+    nblocks = pl.cdiv(count + h0, chunk)
     neg1 = jnp.full((1, TILE_PIXELS), -1.0, jnp.float32)
     inf = jnp.full((1, TILE_PIXELS), _INF, jnp.float32)
 
     def chunk_body(i, slots):
         slot_t, slot_id = slots
-        copy = pltpu.make_async_copy(stream_ref.at[start_blk + i], buf_ref, sem)
+        copy = pltpu.make_async_copy(stream_ref.at[blk0 + i], buf_ref, sem)
         copy.start()
         copy.wait()
         buf = buf_ref[:, :].T
-        n_valid = count - i * chunk
-        row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        rank = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + (i * chunk - h0)
 
         # Moller-Trumbore vectorized over all (face, pixel) pairs.
         v0x, v0y, v0z = _pcol(buf, 0), _pcol(buf, 1), _pcol(buf, 2)
@@ -127,7 +128,7 @@ def _peel_kernel(
         # exact hit test of firstIntersectCUDA (forward.cu:667) + existence
         valid = (
             ok & (tt >= 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (exist > 0.0) & (row < n_valid)
+            & (exist > 0.0) & (rank >= 0) & (rank < count)
         )
         tt = jnp.where(valid, tt, _INF)      # (C, N)
         fidb = fid + 0.0 * tt                # (C, N) broadcast face ids
@@ -159,7 +160,7 @@ def _peel_kernel(
 
     slot_t = tuple(inf for _ in range(num_layers))
     slot_id = tuple(neg1 for _ in range(num_layers))
-    slot_t, slot_id = jax.lax.fori_loop(0, nchunks, chunk_body, (slot_t, slot_id))
+    slot_t, slot_id = jax.lax.fori_loop(0, nblocks, chunk_body, (slot_t, slot_id))
 
     cnt = jnp.zeros((1, TILE_PIXELS), jnp.float32)
     for k in range(num_layers):

@@ -84,14 +84,14 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
         )
-        color, depth, final_t, prev_t, _ = composite_forward(
+        color, depth, final_t, prev_t, _, nc_tile = composite_forward(
             stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
             background, patch_min, patch_width, patch_height, tau,
             chunk=config.face_chunk, interpret=config.interpret,
         )
         aux = RasterAux(binning.num_rendered, binning.num_truncated)
         residuals = (stream, binning.entry_bf, binning.tile_starts,
-                     binning.tile_counts, color, depth, final_t, prev_t)
+                     binning.tile_counts, nc_tile, color, depth, final_t, prev_t)
         return (color, depth, aux), residuals
 
     @jax.custom_vjp
@@ -134,15 +134,17 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             d6 = vjp((g_color, g_depth))
             return (*d6, None, None, None, None, None)
 
-        (stream, entry_bf, starts, counts, color, depth, final_t, prev_t) = residuals
+        (stream, entry_bf, starts, counts, nc_tile,
+         color, depth, final_t, prev_t) = residuals
         grad_records = composite_backward(
-            stream, starts, counts, ray_o_cam, ray_d, background, patch_min,
-            color, depth, final_t, prev_t, g_color, g_depth,
+            stream, starts, counts, nc_tile, ray_o_cam, ray_d, background,
+            patch_min, color, depth, final_t, prev_t, g_color, g_depth,
             patch_width, patch_height, tau,
             chunk=config.face_chunk, interpret=config.interpret,
         )
         d_verts, d_vcolor, d_op, d_vndc_z, d_int, d_aa = scatter_entry_grads(
-            grad_records, entry_bf, faces, verts.shape[0], verts_ndc.shape[0]
+            grad_records, entry_bf, faces, verts.shape[0], verts_ndc.shape[0],
+            max_tiles_per_face=config.max_tiles_per_face,
         )
         d_vndc = jnp.zeros_like(verts_ndc).at[..., 2].set(d_vndc_z)
         return (d_verts, d_vcolor, d_op, d_vndc, d_int, d_aa,

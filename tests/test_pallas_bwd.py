@@ -66,13 +66,13 @@ def test_backward_matches_autodiff(tau):
                         capacity=8192, max_tiles_per_face=64)
     stream = pack_face_stream(binning.entry_bf, verts, faces, vc, fo, verts_ndc, fi, tris.verts)
     ray_o_cam = ray_o[:, 0, 0, :]
-    color, depth, ft, pt, _ = composite_forward(
+    color, depth, ft, pt, _, nc_tile = composite_forward(
         stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
         bg, pm, width, height, tau, chunk=128, interpret=True,
     )
     grad_records = composite_backward(
-        stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
-        bg, pm, color, depth, ft, pt, gc, gd, width, height, tau,
+        stream, binning.tile_starts, binning.tile_counts, nc_tile, ray_o_cam,
+        ray_d, bg, pm, color, depth, ft, pt, gc, gd, width, height, tau,
         chunk=128, interpret=True,
     )
     d_verts, d_vcolor, d_op, d_vndc_z, d_int, d_aa = scatter_entry_grads(
