@@ -67,7 +67,9 @@ def build_step(width, height, n_faces, capacity, tau):
 def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        width, height, n_faces, capacity = 1920, 1080, 1_000_000, 1 << 23
+        # ~5.04M entries are actually binned for this scene; 6M capacity
+        # keeps headroom while trimming the R-proportional pipeline stages.
+        width, height, n_faces, capacity = 1920, 1080, 1_000_000, 6 * (1 << 20)
     else:  # CPU smoke-scale so the bench always emits a line
         width, height, n_faces, capacity = 256, 256, 1280, 1 << 14
 

@@ -430,6 +430,37 @@ def _shift_rows(x, s, fill):
     return jnp.concatenate([pad, x[: x.shape[0] - s]], axis=0)
 
 
+def _segmented_prefix_sum(rec, keys, max_run):
+    """Inclusive segmented prefix sum over rows grouped by sorted ``keys``.
+
+    Hillis-Steele with log2(max_run) shifted masked adds -- numerically
+    local (each row only ever sums values from its own segment, unlike a
+    global cumsum + boundary-difference, which loses precision to the
+    running prefix).
+    """
+    acc = rec
+    s = 1
+    while s < max_run:
+        same = _shift_rows(keys[:, None], s, -1) == keys[:, None]
+        acc = acc + jnp.where(same, _shift_rows(acc, s, 0.0), 0.0)
+        s *= 2
+    return acc
+
+
+def _segment_tails(acc, keys, n_out):
+    """Gather each segment's last row (= its segment sum) into (n_out, W).
+
+    ``keys`` must be sorted; out-of-range keys (sentinels) are dropped;
+    segments absent from ``keys`` yield zero rows.
+    """
+    r = keys.shape[0]
+    pos = jnp.arange(r, dtype=jnp.int32)
+    last = jnp.full((n_out,), -1, jnp.int32).at[
+        jnp.minimum(keys, n_out)
+    ].max(pos, mode="drop")
+    return jnp.where((last >= 0)[:, None], acc[jnp.maximum(last, 0)], 0.0)
+
+
 def scatter_entry_grads(
     grad_records,  # (R, 32) per-entry gradient records
     entry_bf,      # (R,) int32 (sentinel = B*F)
@@ -471,34 +502,39 @@ def scatter_entry_grads(
     # Segmented inclusive prefix sum along rows: segments are runs of equal
     # sbf, each of length <= Kt by construction (a face is binned into at
     # most Kt tiles), so log2(Kt) shifted masked adds suffice.
-    acc = rec
-    s = 1
-    while s < max_tiles_per_face:
-        same = (_shift_rows(sbf[:, None], s, -1) == sbf[:, None])
-        acc = acc + jnp.where(same, _shift_rows(acc, s, 0.0), 0.0)
-        s *= 2
+    acc = _segmented_prefix_sum(rec, sbf, max_tiles_per_face)
 
     # Last row of each segment holds the full segment sum.
-    pos = jnp.arange(r, dtype=jnp.int32)
-    last = jnp.full((bf,), -1, jnp.int32).at[
-        jnp.minimum(sbf, bf)
-    ].max(pos, mode="drop")                                   # narrow scatter
-    have = last >= 0
-    d_face = jnp.where(
-        have[:, None], acc[jnp.maximum(last, 0)], 0.0
-    ).reshape(n_batch, f, 29)
+    d_face = _segment_tails(acc, sbf, bf).reshape(n_batch, f, 29)
 
-    # F-sized tail: fan per-face grads out to shared tensors.
+    # Face -> shared-vertex reduction: same sort + segmented-scan machinery
+    # over the 3F face-corner incidences (an XLA scatter-add here costs 3-4x
+    # more, measured). Scan depth is log2(3F) so any vertex valence is exact.
     d_fsum = d_face.sum(axis=0)                               # (F, 29)
-    d_verts = jnp.zeros((n_verts, 3), jnp.float32)
-    d_vcolor = jnp.zeros((n_verts, 3), jnp.float32)
-    d_vndc_z = jnp.zeros((n_batch, n_verts), jnp.float32)
-    bidx = jnp.arange(n_batch, dtype=jnp.int32)[:, None]
-    for k in range(3):
-        vk = faces[:, k]
-        d_verts = d_verts.at[vk].add(d_fsum[:, REC_V + 3 * k:REC_V + 3 * k + 3])
-        d_vcolor = d_vcolor.at[vk].add(d_fsum[:, REC_C + 3 * k:REC_C + 3 * k + 3])
-        d_vndc_z = d_vndc_z.at[bidx, vk[None, :]].add(d_face[:, :, REC_Z + k])
+    contrib = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [
+                    d_fsum[:, REC_V + 3 * k:REC_V + 3 * k + 3],
+                    d_fsum[:, REC_C + 3 * k:REC_C + 3 * k + 3],
+                    d_face[:, :, REC_Z + k].T,                # (F, B)
+                ],
+                axis=1,
+            )
+            for k in range(3)
+        ],
+        axis=0,
+    )                                                          # (3F, 6 + B)
+    vids = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    sv, vperm = jax.lax.sort(
+        (vids, jnp.arange(3 * f, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    vacc = _segmented_prefix_sum(contrib[vperm], sv, 3 * f)
+    d_vert_all = _segment_tails(vacc, sv, n_verts)             # (P, 6 + B)
+    d_verts = d_vert_all[:, 0:3]
+    d_vcolor = d_vert_all[:, 3:6]
+    d_vndc_z = d_vert_all[:, 6:6 + n_batch].T
+
     d_op = d_fsum[:, REC_OP]
     d_int = d_face[:, :, REC_IN]
     d_aa = d_face[:, :, REC_AA:REC_AA + 6].reshape(n_batch, f, 3, 2)
