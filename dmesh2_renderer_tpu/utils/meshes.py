@@ -114,7 +114,19 @@ def tet_grid(res: int = 2, extent: float = 1.2):
     tets (T,4) i32, faces (F,3) i32, face_tets (F,2) i32, tet_faces (T,4) i32)
     with the adjacency layout expected by ``LayeredRenderer.generate``
     (``dmesh2_renderer/__init__.py:404-416``).
+
+    Uses the native builder (csrc/meshio.cpp via utils.native) when a
+    compiler is available -- the hash-map adjacency pass is ~100x the Python
+    dict loop below at large resolutions -- with this pure-Python path as
+    the behavioral reference and fallback.
     """
+    from dmesh2_renderer_tpu.utils import native
+
+    if native.load() is not None:
+        verts, tets = native.tet_grid(res, extent)
+        faces, face_tets, tet_faces = native.tet_adjacency(tets)
+        return verts, tets, faces, face_tets, tet_faces
+
     xs = np.linspace(-extent, extent, res + 1)
     grid = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
     verts = grid.reshape(-1, 3).astype(np.float32)

@@ -1,0 +1,89 @@
+"""End-to-end DMesh++-style inverse rendering (BASELINE.md config 5).
+
+Optimizes vertex positions, colors, and opacities of an icosphere to match
+target renders of a displaced "bumpy" target shape from 16 orbit cameras,
+views sharded across all available devices. Demonstrates the full training
+stack: functional render -> sharded grads -> optax -> checkpoint/resume.
+
+Run: python examples/fit_mesh.py [--steps 200] [--size 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from dmesh2_renderer_tpu.functional import render
+from dmesh2_renderer_tpu.parallel.data_parallel import SceneParams
+from dmesh2_renderer_tpu.train import Trainer
+from dmesh2_renderer_tpu.utils.config import RasterConfig
+from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--views", type=int, default=16)
+    ap.add_argument("--checkpoint", type=str, default="/tmp/fit_mesh.npz")
+    args = ap.parse_args()
+
+    hw, b = args.size, args.views
+    cfg = RasterConfig(
+        binning_capacity=1 << 18,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    verts_np, faces_np = icosphere(3)
+    faces = jnp.asarray(faces_np)
+    f = faces.shape[0]
+    mv, proj = orbit_cameras(b)
+    mv, proj = jnp.asarray(mv), jnp.asarray(proj)
+    it = jnp.ones((b, f), jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
+
+    # Target: radially displaced sphere with position-derived colors.
+    rng = np.random.default_rng(0)
+    bump = 1.0 + 0.25 * np.sin(4.0 * verts_np[:, 0]) * np.cos(4.0 * verts_np[:, 1])
+    target_verts = jnp.asarray(verts_np * bump[:, None])
+    target_color = jnp.abs(target_verts) % 1.0
+    tgt, _, _ = render(target_verts, faces, target_color,
+                       jnp.full((f,), 0.95), it, mv, proj, bg, hw, hw, 1.0, cfg)
+    tgt = jax.lax.stop_gradient(tgt)
+
+    params = SceneParams(
+        verts=jnp.asarray(verts_np),
+        verts_color=jnp.full((verts_np.shape[0], 3), 0.5, jnp.float32),
+        faces_opacity=jnp.full((f,), 0.5, jnp.float32),
+    )
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    trainer = Trainer(mesh, optax.adam(5e-3), faces, hw, hw, 1.0, cfg,
+                      checkpoint_path=args.checkpoint, checkpoint_every=50)
+    state = trainer.init_state(params)
+    print(f"devices={len(jax.devices())} start_step={int(state.step)}")
+
+    t0 = time.time()
+    for i in range(args.steps):
+        state, loss = trainer.step(state, it, mv, proj, tgt, bg)
+        if i % 10 == 0:
+            print(f"step {int(state.step):4d} loss {float(loss):.6f} "
+                  f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)", flush=True)
+    if args.checkpoint:
+        from dmesh2_renderer_tpu.train import save_checkpoint
+
+        save_checkpoint(args.checkpoint, state)
+    print(f"final loss {float(loss):.6f} (saved {args.checkpoint})")
+
+
+if __name__ == "__main__":
+    main()

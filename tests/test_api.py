@@ -1,0 +1,93 @@
+"""API-surface tests: patch rendering, validation, aux reporting.
+
+Covers the reference behaviors of patch windows (``__init__.py:264-302``,
+``renderer.cu:130-132``) and host-side shape validation
+(``render.cu:62-118``).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmesh2_renderer_tpu.models.renderer import Renderer
+from dmesh2_renderer_tpu.utils.config import RasterConfig
+from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
+
+CFG = RasterConfig(binning_capacity=1 << 13, interpret=True)
+
+
+def _renderer(b=2, hw=48):
+    verts, faces = icosphere(1)
+    mv, proj = orbit_cameras(b)
+    r = Renderer(mv, proj, hw, hw, config=CFG)
+    f = faces.shape[0]
+    args = dict(
+        verts=jnp.asarray(verts), faces=jnp.asarray(faces),
+        verts_color=jnp.abs(jnp.asarray(verts)),
+        faces_opacity=jnp.full((f,), 0.7, jnp.float32),
+        faces_intense=jnp.ones((b, f), jnp.float32),
+        background=jnp.asarray([0.1, 0.2, 0.3], jnp.float32),
+    )
+    return r, args, b, hw
+
+
+def test_patch_equals_full_frame_window():
+    """Per-view patch rendering must equal the same window of a full render
+    (the reference's patch contract, renderer.cu:130-132)."""
+    r, a, b, hw = _renderer()
+    full_c, full_d = r.forward(
+        jnp.arange(b), jnp.zeros((b, 2), jnp.int32), hw, hw,
+        a["verts"], a["faces"], a["verts_color"], a["faces_opacity"],
+        a["faces_intense"], a["background"], 1.0,
+    )
+    pw = ph = 16
+    pmin = jnp.asarray([[8, 4], [16, 16]], jnp.int32)
+    patch_c, patch_d = r.forward(
+        jnp.arange(b), pmin, pw, ph,
+        a["verts"], a["faces"], a["verts_color"], a["faces_opacity"],
+        a["faces_intense"], a["background"], 1.0,
+    )
+    for bi in range(b):
+        x0, y0 = int(pmin[bi, 0]), int(pmin[bi, 1])
+        np.testing.assert_allclose(
+            np.asarray(patch_c[bi]),
+            np.asarray(full_c[bi, y0:y0 + ph, x0:x0 + pw]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(patch_d[bi]),
+            np.asarray(full_d[bi, y0:y0 + ph, x0:x0 + pw]),
+            atol=1e-5,
+        )
+
+
+def test_validation_errors():
+    r, a, b, hw = _renderer()
+    idx = jnp.arange(b)
+    pm = jnp.zeros((b, 2), jnp.int32)
+
+    with pytest.raises(ValueError, match="verts_color"):
+        r.forward(idx, pm, hw, hw, a["verts"], a["faces"],
+                  a["verts_color"][:, :2], a["faces_opacity"],
+                  a["faces_intense"], a["background"], 1.0)
+    with pytest.raises(ValueError, match="aa_temperature"):
+        r.forward(idx, pm, hw, hw, a["verts"], a["faces"], a["verts_color"],
+                  a["faces_opacity"], a["faces_intense"], a["background"], 1.5)
+    with pytest.raises(ValueError, match="faces_intense"):
+        r.forward(idx, pm, hw, hw, a["verts"], a["faces"], a["verts_color"],
+                  a["faces_opacity"], a["faces_intense"][:1], a["background"], 1.0)
+    with pytest.raises(ValueError, match="mv must be"):
+        Renderer(np.eye(4), np.eye(4), 32, 32)
+
+
+def test_overflow_reported_and_finite():
+    r, a, b, hw = _renderer()
+    small = Renderer(np.asarray(r.mv), np.asarray(r.proj), hw, hw,
+                     config=RasterConfig(binning_capacity=128, interpret=True))
+    c, d = small.forward(
+        jnp.arange(b), jnp.zeros((b, 2), jnp.int32), hw, hw,
+        a["verts"], a["faces"], a["verts_color"], a["faces_opacity"],
+        a["faces_intense"], a["background"], 1.0,
+    )
+    assert int(small.last_aux.num_truncated) > 0
+    assert bool(jnp.isfinite(c).all()) and bool(jnp.isfinite(d).all())
