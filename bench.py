@@ -47,6 +47,9 @@ def build_step(width, height, n_faces, capacity, tau):
     )
     config = RasterConfig(
         binning_capacity=capacity,
+        # Small soup triangles touch <= ~9 tiles; Kt=16 keeps the binning
+        # emission grid (BF x Kt) 4x smaller than the safe default of 64.
+        max_tiles_per_face=16,
         interpret=jax.default_backend() == "cpu",
     )
 

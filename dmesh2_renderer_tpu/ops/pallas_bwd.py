@@ -127,12 +127,27 @@ def _bwd_kernel(
     nactive = jnp.minimum(pl.cdiv(ncmax_ref[t] + h0, chunk), nblocks)
     n_heavy = jnp.minimum(jnp.maximum(nactive, 1), nblocks)
 
+    # Double-buffered stream DMA (see pallas_fwd). No drain needed: this is
+    # a fori loop, so every started block is waited by its own iteration.
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            stream_ref.at[blk0 + i], buf_ref.at[slot], sem_in.at[slot]
+        )
+
+    @pl.when(n_heavy > 0)
+    def _():
+        get_dma(0, 0).start()
+
     def chunk_body(i, carry):
         t_run, p_r, p_g, p_b, p_d = carry
-        copy = pltpu.make_async_copy(stream_ref.at[blk0 + i], buf_ref, sem_in)
-        copy.start()
-        copy.wait()
-        buf = buf_ref[:, :].T
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_heavy)
+        def _():
+            get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        get_dma(slot, i).wait()
+        buf = buf_ref[slot].T
         rank0 = i * chunk - h0
 
         q = chunk_face_quantities(
@@ -406,10 +421,10 @@ def composite_backward(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((FACE_RECORD_WIDTH, chunk), jnp.float32),
+            pltpu.VMEM((2, FACE_RECORD_WIDTH, chunk), jnp.float32),
             pltpu.VMEM((GRAD_RECORD_WIDTH, chunk), jnp.float32),
             pltpu.VMEM((GRAD_RECORD_WIDTH, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )

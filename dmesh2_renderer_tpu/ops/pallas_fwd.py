@@ -284,15 +284,31 @@ def _fwd_kernel(
 
     nblocks = pl.cdiv(count + h0, chunk)
 
+    # Double-buffered stream DMA: block i+1 is in flight while block i is
+    # composited (the TPU analogue of the reference's two-phase shared-mem
+    # staging, forward.cu:255-304).
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            stream_ref.at[blk0 + i], buf_ref.at[slot], sem.at[slot]
+        )
+
+    @pl.when(nblocks > 0)
+    def _():
+        get_dma(0, 0).start()
+
     def chunk_body(state):
         i, t_run, pt_run, cr, cg, cb, cd, nc = state
-        copy = pltpu.make_async_copy(stream_ref.at[blk0 + i], buf_ref, sem)
-        copy.start()
-        copy.wait()
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        get_dma(slot, i).wait()
         rank0 = i * chunk - h0
 
         q = chunk_face_quantities(
-            buf_ref[:, :].T, rank0, count, rdx, rdy, rdz, ox, oy, oz,
+            buf_ref[slot].T, rank0, count, rdx, rdy, rdz, ox, oy, oz,
             px0, py0, aa_temperature,
         )
         tb, active, _a_eff, w, t_out = blend_scan(q.passes, q.alpha, t_run)
@@ -319,9 +335,15 @@ def _fwd_kernel(
 
     zeros = jnp.zeros((1, TILE_PIXELS), dtype=jnp.float32)
     ones = jnp.ones((1, TILE_PIXELS), dtype=jnp.float32)
-    _, t_run, pt_run, cr, cg, cb, cd, nc = jax.lax.while_loop(
+    i_end, t_run, pt_run, cr, cg, cb, cd, nc = jax.lax.while_loop(
         chunk_cond, chunk_body, (0, ones, ones, zeros, zeros, zeros, zeros, zeros)
     )
+
+    # Early exit leaves block i_end's prefetch in flight; drain it so the
+    # semaphore is clean for the next grid step (scratch persists).
+    @pl.when(i_end < nblocks)
+    def _():
+        get_dma(jax.lax.rem(i_end, 2), i_end).wait()
 
     # Background composite (forward.cu:427-428).
     out_ref[0, :, :] = jnp.concatenate(
@@ -427,8 +449,8 @@ def composite_forward(
         out_specs=pl.BlockSpec((1, 8, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((FACE_RECORD_WIDTH, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, FACE_RECORD_WIDTH, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
