@@ -189,12 +189,12 @@ def build_face_table(
     faces_intense,   # (B, F)
     aa_face_verts,   # (B, F, 3, 2)
 ):
-    """Per-(batch, face) record table as FOUR contiguous (B*F, 8) arrays.
+    """Per-(batch, face) record table as TWO contiguous (B*F, 16) arrays.
 
     All gathers here are F-sized (faces -> verts), not R-sized; the R-sized
-    access is the row gather in :func:`gather_stream`, which is 4x faster on
-    8-wide contiguous tables than on one 32-wide table (measured) -- hence
-    the split storage.
+    access is the row gather in :func:`gather_stream`. XLA TPU row-gather
+    throughput is non-monotonic in row width; 2x16 measures fastest at the
+    1M-table / 6M-read scale (228 vs 279 ms direct-32 vs 356 ms 4x8).
     """
     b = verts_ndc.shape[0]
     f = faces.shape[0]
@@ -209,15 +209,15 @@ def build_face_table(
     cb = jnp.broadcast_to(c[None], (b, f, 9))
     pad = jnp.zeros((b, f, 3), v.dtype)
     flat = jnp.concatenate([vb, cb, z, op, it, aa, pad], axis=2).reshape(b * f, 32)
-    return tuple(flat[:, 8 * k:8 * (k + 1)] for k in range(4))
+    return tuple(flat[:, 16 * k:16 * (k + 1)] for k in range(2))
 
 
 def gather_stream(face_table, entry_bf):
     """(R,) sorted entries -> (R/128, 32, 128) field-major DMA blocks.
 
-    Four 8-wide row gathers from the split (B*F, 8) tables (sentinel entries
-    read row 0 and are masked by tile_counts in the kernels), emitted
-    directly in the blocked field-major layout the kernels DMA.
+    Two 16-wide row gathers from the split (B*F, 16) tables (sentinel
+    entries read row 0 and are masked by tile_counts in the kernels),
+    emitted directly in the blocked field-major layout the kernels DMA.
     """
     r = entry_bf.shape[0]
     nb = r // STREAM_BLOCK
