@@ -176,7 +176,12 @@ def config5():
         return step(params, opt_state, it, jnp.asarray(mv), jnp.asarray(proj),
                     target, bg)
 
+    # Two warmup steps: the first call compiles with uncommitted host inputs
+    # and weak types; feeding its outputs back triggers exactly one recompile
+    # (strong types + committed shardings). Steady state begins at call 3.
     p, o, l = one(params, opt_state)
+    _force(l)
+    p, o, l = one(p, o)
     _force(l)
     t0 = time.perf_counter()
     for _ in range(ITERS):
