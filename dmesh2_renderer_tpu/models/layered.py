@@ -8,6 +8,7 @@ ops/peel.py for the redesign rationale) but which are accepted for parity.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dmesh2_renderer_tpu import geometry as G
@@ -22,6 +23,45 @@ class LayeredRenderer(Renderer):
     def __init__(self, mv, proj, width, height, device=None,
                  config: RasterConfig | None = None):
         super().__init__(mv, proj, width, height, device=device, config=config)
+        self._gen_cache = {}
+
+    def _get_gen(self, num_layers: int):
+        gen = self._gen_cache.get(num_layers)
+        if gen is None:
+            width, height = self.width, self.height
+            cfg = self.config
+
+            @jax.jit
+            def gen(batch_mvp_idx, verts, faces, faces_existence,
+                    mv_all, proj_all, ray_o_full, ray_d_full):
+                mv_sel = mv_all[batch_mvp_idx]
+                proj_sel = proj_all[batch_mvp_idx]
+                verts_ndc, verts_image = G.compute_verts_ndc_image(
+                    verts, mv_sel, proj_sel, width, height
+                )
+                tris = G.face_aa_triangles(verts_image, faces)
+                ray_o = ray_o_full[batch_mvp_idx]
+                ray_d = ray_d_full[batch_mvp_idx]
+                b = batch_mvp_idx.shape[0]
+                # Bin by min depth over the full frame (renderer.cu:557-558, 603).
+                _, min_depth, _, alive = face_depth01(verts_ndc, faces)
+                patch_min = jnp.zeros((b, 2), jnp.int32)
+                binning = bin_faces(
+                    tris.verts, min_depth, alive, patch_min, width, height,
+                    cfg.binning_capacity, cfg.max_tiles_per_face,
+                )
+                stream = pack_peel_stream(
+                    binning.entry_bf, verts, faces, faces_existence
+                )
+                layers, counts = peel_layers(
+                    stream, binning.tile_starts, binning.tile_counts,
+                    ray_o[:, 0, 0, :], ray_d, width, height, num_layers,
+                    chunk=cfg.face_chunk, interpret=cfg.interpret,
+                )
+                return layers, counts, binning.num_rendered, binning.num_truncated
+
+            self._gen_cache[num_layers] = gen
+        return gen
 
     def generate(
         self,
@@ -46,26 +86,10 @@ class LayeredRenderer(Renderer):
         faces = jnp.asarray(faces, dtype=jnp.int32)
         faces_existence = jnp.asarray(faces_existence, dtype=jnp.int32)
 
-        b_mv = self.mv[batch_mvp_idx]
-        b_proj = self.proj[batch_mvp_idx]
-        verts_ndc, verts_image = self.compute_verts_ndc_image(verts, b_mv, b_proj)
-        tris = G.face_aa_triangles(verts_image, faces)
-
-        ray_o = self.ray_o[batch_mvp_idx]
-        ray_d = self.ray_d[batch_mvp_idx]
-        b = int(batch_mvp_idx.shape[0])
-
-        # Bin by min depth over the full frame (renderer.cu:557-558, 603).
-        _, min_depth, _, alive = face_depth01(verts_ndc, faces)
-        patch_min = jnp.zeros((b, 2), jnp.int32)
-        binning = bin_faces(
-            tris.verts, min_depth, alive, patch_min, self.width, self.height,
-            self.config.binning_capacity, self.config.max_tiles_per_face,
+        gen = self._get_gen(int(num_layers))
+        layers, counts, num_rendered, num_truncated = gen(
+            batch_mvp_idx, verts, faces, faces_existence,
+            self.mv, self.proj, self.ray_o, self.ray_d,
         )
-        self.last_aux = (binning.num_rendered, binning.num_truncated)
-        stream = pack_peel_stream(binning.entry_bf, verts, faces, faces_existence)
-        return peel_layers(
-            stream, binning.tile_starts, binning.tile_counts,
-            ray_o[:, 0, 0, :], ray_d, self.width, self.height, num_layers,
-            chunk=self.config.face_chunk, interpret=self.config.interpret,
-        )
+        self.last_aux = (num_rendered, num_truncated)
+        return layers, counts

@@ -20,6 +20,7 @@ Differences (deliberate, documented):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dmesh2_renderer_tpu import geometry as G
@@ -41,9 +42,44 @@ class Renderer:
         self.aa_grad_buffer_size = aa_grad_buffer_size  # parity arg; unused
         self.config = config or RasterConfig()
         self.last_aux = None
+        # One jitted pipeline per (patch shape, tau): without this, every
+        # preprocessing op dispatches eagerly (very expensive on remote
+        # backends -- measured ~30 ms per dispatch through a TPU tunnel).
+        self._fwd_cache = {}
 
         # Per-pixel camera rays, precomputed once (__init__.py:198-237).
         self.ray_o, self.ray_d = G.init_rays(self.mv, self.proj, self.width, self.height)
+
+    def _get_fwd(self, pw: int, ph: int, tau: float):
+        key = (pw, ph, tau)
+        fwd = self._fwd_cache.get(key)
+        if fwd is None:
+            width, height = self.width, self.height
+            rasterize = make_rasterizer(pw, ph, tau, self.config)
+
+            @jax.jit
+            def fwd(verts, faces, verts_color, faces_opacity, faces_intense,
+                    background, mv_all, proj_all, batch_mvp_idx, batch_patch_min,
+                    ray_o_full, ray_d_full):
+                b_mv = mv_all[batch_mvp_idx]
+                b_proj = proj_all[batch_mvp_idx]
+                verts_ndc, verts_image = G.compute_verts_ndc_image(
+                    verts, b_mv, b_proj, width, height
+                )
+                tris = G.face_aa_triangles(verts_image, faces)
+                ray_o, ray_d = G.select_rays(
+                    ray_o_full, ray_d_full, batch_mvp_idx, batch_patch_min,
+                    pw, ph,
+                )
+                color, depth_raw, aux = rasterize(
+                    verts, verts_color, faces_opacity, verts_ndc,
+                    faces_intense, tris.verts, faces, background,
+                    batch_patch_min, ray_o[:, 0, 0, :], ray_d,
+                )
+                return color, 1.0 - (depth_raw + 1.0) / 2.0, aux
+
+            self._fwd_cache[key] = fwd
+        return fwd
 
     def compute_verts_ndc_image(self, verts, mv, proj):
         return G.compute_verts_ndc_image(verts, mv, proj, self.width, self.height)
@@ -73,36 +109,23 @@ class Renderer:
         verts = jnp.asarray(verts, dtype=jnp.float32)
         faces = jnp.asarray(faces, dtype=jnp.int32)
 
-        b_mv = self.mv[batch_mvp_idx]
-        b_proj = self.proj[batch_mvp_idx]
-
-        verts_ndc, verts_image = self.compute_verts_ndc_image(verts, b_mv, b_proj)
-        tris = G.face_aa_triangles(verts_image, faces)
-
-        ray_o, ray_d = G.select_rays(
-            self.ray_o, self.ray_d, batch_mvp_idx, batch_patch_min,
-            patch_width, patch_height,
-        )
-        ray_o_cam = ray_o[:, 0, 0, :]
-
-        rasterize = make_rasterizer(
-            patch_width, patch_height, float(aa_temperature), self.config
-        )
-        color, depth_raw, aux = rasterize(
+        fwd = self._get_fwd(int(patch_width), int(patch_height),
+                            float(aa_temperature))
+        color, depth, aux = fwd(
             verts,
+            faces,
             jnp.asarray(verts_color, dtype=jnp.float32),
             jnp.asarray(faces_opacity, dtype=jnp.float32),
-            verts_ndc,
             jnp.asarray(faces_intense, dtype=jnp.float32),
-            tris.verts,
-            faces,
             jnp.asarray(background, dtype=jnp.float32),
+            self.mv,
+            self.proj,
+            batch_mvp_idx,
             batch_patch_min,
-            ray_o_cam,
-            ray_d,
+            self.ray_o,
+            self.ray_d,
         )
         self.last_aux = aux
-        depth = 1.0 - (depth_raw + 1.0) / 2.0
         return color, depth
 
     __call__ = forward
