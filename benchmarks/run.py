@@ -132,7 +132,11 @@ def config3():
 def config4():
     """Large scene: 1M-triangle soup at 1920x1080, fwd+bwd."""
     s = _scene(1_000_000)
-    w, h, cfg = 1920, 1080, _cfg(1 << 23)
+    w, h = 1920, 1080
+    cfg = RasterConfig(
+        binning_capacity=6 * (1 << 20), max_tiles_per_face=16,
+        interpret=jax.default_backend() == "cpu",
+    )
 
     def loss(verts, vc, op, it):
         c, d, _ = render(verts, s["faces"], vc, op, it, s["mv"], s["proj"],
