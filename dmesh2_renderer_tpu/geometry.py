@@ -87,11 +87,15 @@ def init_rays(mv, proj, width, height):
     pix_ndc_h = jnp.concatenate([pix_ndc, -ones, ones], axis=-1)  # (H, W, 4)
     pix_view = jnp.einsum("hwj,bij->bhwi", pix_ndc_h, inv_proj,
                          precision=jax.lax.Precision.HIGHEST)
-    # Perspective division before leaving clip space: without it the
-    # unprojected point is scaled by w (negative for GL-style projections),
-    # which silently flips every ray direction. Moller-Trumbore barycentrics
-    # are invariant under that flip, so images still render -- but the hit
-    # parameter t changes sign, which breaks any t >= 0 logic (the peel).
+    # Perspective division before leaving clip space. DELIBERATE PARITY
+    # DEVIATION (reference-bug fix): the reference applies inv_mv to the
+    # UNDIVIDED point (__init__.py:228-233), so whenever the unprojected
+    # w != 1 its ray directions are w-dependently skewed (for |w| == 1 the
+    # skew reduces to a sign flip, under which Moller-Trumbore barycentrics
+    # are invariant -- but the hit parameter t changes sign, breaking any
+    # t >= 0 logic such as the peel). With the division, rays are
+    # geometrically correct for every projection; rendered output can differ
+    # from the reference for projections whose unprojected |w| != 1.
     pix_view = pix_view / pix_view[..., 3:4]
     pix_world = jnp.einsum("bhwj,bij->bhwi", pix_view, inv_mv,
                           precision=jax.lax.Precision.HIGHEST)[..., :3]

@@ -135,14 +135,25 @@ def bin_faces(
     # depth resolution are behaviorally equivalent.
     bits_t = _ceil_log2(t_total + 1)
     bits_d = 31 - bits_t
-    assert bits_d >= 10, (
-        f"tile grid too large for packed sort keys ({t_total} tiles); "
-        "shard views across chips instead"
+    if bits_d < 10:
+        raise ValueError(
+            f"tile grid too large for packed int31 sort keys: {t_total} "
+            f"(batch x tiles) needs {bits_t} bits, leaving {bits_d} < 10 "
+            "depth bits. Render fewer views per call (shard views across "
+            "chips with dmesh2_renderer_tpu.parallel) or use smaller patches."
+        )
+    # Quantize depth in the INTEGER domain: for bits_d >= 25 the float32
+    # value (2^bits_d - 1) rounds up to 2^bits_d, so a float-side clip can
+    # still yield dq == 2^bits_d at depth01 == 1.0 and overflow into the
+    # tile bits (binning the entry into the adjacent tile).
+    dmax = (1 << bits_d) - 1
+    dq = jnp.minimum(
+        (depth01.reshape(bf, 1) * dmax).astype(jnp.int32), dmax
     )
-    dq = jnp.clip((depth01.reshape(bf, 1) * ((1 << bits_d) - 1)), 0, (1 << bits_d) - 1)
+    dq = jnp.maximum(dq, 0)
     key = jnp.where(
         valid,
-        (tile_id << bits_d) | dq.astype(jnp.int32),
+        (tile_id << bits_d) | dq,
         jnp.int32(0x7FFFFFFF),
     )
     payload = jnp.broadcast_to(

@@ -423,7 +423,10 @@ def composite_forward(
     t_total = b * gx * gy
     assert chunk == face_stream.shape[2], "chunk must equal STREAM_BLOCK"
 
-    stream = face_stream  # tile segments are block-aligned; no padding needed
+    # Tile segments start UNALIGNED inside the blocked stream (binning.py);
+    # kernels mask head rows via h0. Whole-block DMA stays in-bounds because
+    # binning rounds capacity up to a multiple of STREAM_BLOCK.
+    stream = face_stream
     ray_d_t = tile_rays(ray_d, gx, gy)
     ray_o_flat = ray_o_cam.reshape(-1).astype(jnp.float32)
     bg4 = jnp.concatenate([background, jnp.zeros((1,), background.dtype)])[None, :]

@@ -19,8 +19,6 @@ Differences (documented):
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax.numpy as jnp
 
 from dmesh2_renderer_tpu.aa import tri_box_overlap_area, tri_box_overlap_area_grad
@@ -40,27 +38,31 @@ def Triangles(p0, p1, p2) -> _TrianglesTuple:
     return make_triangles(jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2))
 
 
-class Pixels(NamedTuple):
-    """Axis-aligned pixel boxes (reference ``pyrenderer.Pixels``)."""
+class Pixels:
+    """Axis-aligned pixel boxes, constructed from (pixmin, pixmax) corner
+    arrays exactly like the reference class
+    (``/root/reference/dmesh2_renderer/pyrenderer.py:33-40``), so DMesh++'s
+    positional call ``Pixels(pixmin, pixmax)`` is a drop-in.
 
-    verts: jnp.ndarray  # (..., 4, 2) corners: (min), (xmax,ymin), (max), (xmin,ymax)
-    edges: jnp.ndarray  # (..., 4, 2)
+    Attributes:
+      verts: (..., 4, 2) corners (min), (xmax, ymin), (max), (xmin, ymax)
+      edges: (..., 4, 2) CCW edge vectors
+    """
+
+    def __init__(self, pixmin, pixmax):
+        pixmin = jnp.asarray(pixmin)
+        pixmax = jnp.asarray(pixmax)
+        p0 = pixmin
+        p1 = jnp.stack([pixmax[..., 0], pixmin[..., 1]], axis=-1)
+        p2 = pixmax
+        p3 = jnp.stack([pixmin[..., 0], pixmax[..., 1]], axis=-1)
+        self.verts = jnp.stack([p0, p1, p2, p3], axis=-2)
+        self.edges = jnp.stack([p1 - p0, p2 - p1, p3 - p2, p0 - p3], axis=-2)
 
 
 def make_pixels(pixmin, pixmax) -> Pixels:
-    pixmin = jnp.asarray(pixmin)
-    pixmax = jnp.asarray(pixmax)
-    p0 = pixmin
-    p1 = jnp.stack([pixmax[..., 0], pixmin[..., 1]], axis=-1)
-    p2 = pixmax
-    p3 = jnp.stack([pixmin[..., 0], pixmax[..., 1]], axis=-1)
-    verts = jnp.stack([p0, p1, p2, p3], axis=-2)
-    edges = jnp.stack([p1 - p0, p2 - p1, p3 - p2, p0 - p3], axis=-2)
-    return Pixels(verts, edges)
-
-
-# Reference-compat constructor-style alias (Pixels(pixmin, pixmax) there).
-Pixels.make = staticmethod(make_pixels)
+    """Alias for :class:`Pixels` (kept for round-1 API compatibility)."""
+    return Pixels(pixmin, pixmax)
 
 
 def tri_pixel_overlap_area(tris: _TrianglesTuple, pixs: Pixels, tid, pid,

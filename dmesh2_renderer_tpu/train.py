@@ -53,11 +53,12 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
     """
     leaves, treedef = jax.tree_util.tree_flatten(template)
     with np.load(path) as data:
+        if len(data.files) != len(leaves):
+            raise ValueError(
+                f"checkpoint has {len(data.files)} leaves, template "
+                f"{len(leaves)}"
+            )
         restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
-    if len(restored) != len(leaves):
-        raise ValueError(
-            f"checkpoint has {len(restored)} leaves, template {len(leaves)}"
-        )
     return jax.tree_util.tree_unflatten(treedef, restored)
 
 

@@ -58,6 +58,33 @@ def test_binning_matches_bruteforce():
     assert total == int(binning.num_rendered)
 
 
+def test_far_plane_depth_stays_in_its_tile():
+    """depth01 == 1.0 must not overflow the quantized depth field into the
+    tile bits of the packed sort key (small grids have bits_d >= 25, where
+    float-domain clamping rounds up to 2^bits_d)."""
+    # One 16x16 tile; a single face covering it, exactly at the far plane.
+    aa = jnp.asarray([[[[2.0, 2.0], [14.0, 2.0], [8.0, 14.0]]]], jnp.float32)
+    depth01 = jnp.ones((1, 1), jnp.float32)
+    alive = jnp.ones((1, 1), bool)
+    pm = jnp.zeros((1, 2), jnp.int32)
+    binning = bin_faces(aa, depth01, alive, pm, 16, 16,
+                        capacity=128, max_tiles_per_face=4)
+    assert int(binning.tile_counts[0]) == 1
+    assert int(binning.num_truncated) == 0
+
+
+def test_tile_grid_key_limit_raises_value_error():
+    import pytest
+
+    aa = jnp.zeros((1, 1, 3, 2), jnp.float32)
+    depth01 = jnp.zeros((1, 1), jnp.float32)
+    alive = jnp.ones((1, 1), bool)
+    pm = jnp.zeros((1, 2), jnp.int32)
+    with pytest.raises(ValueError, match="shard views"):
+        bin_faces(aa, depth01, alive, pm, 16 * 2048, 16 * 2048,
+                  capacity=128, max_tiles_per_face=4)
+
+
 def test_binning_overflow_reported():
     width, height, b = 48, 32, 1
     aa_verts, depth01, alive, _ = _setup(width, height, b)
