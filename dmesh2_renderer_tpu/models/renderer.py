@@ -126,6 +126,20 @@ class Renderer:
             self.ray_d,
         )
         self.last_aux = aux
+        if self.config.warn_on_overflow:
+            truncated = int(aux.num_truncated)
+            if truncated > 0:
+                import warnings
+
+                warnings.warn(
+                    f"binning truncated {truncated} of "
+                    f"{int(aux.num_rendered)} face instances; the rendered "
+                    "image is missing geometry. Raise "
+                    "RasterConfig.binning_capacity (or max_tiles_per_face "
+                    "for faces spanning many tiles).",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return color, depth
 
     __call__ = forward

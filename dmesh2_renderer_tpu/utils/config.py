@@ -75,3 +75,8 @@ class RasterConfig:
     use_pallas: bool = True
     # Run Pallas kernels in interpreter mode (CPU testing).
     interpret: bool = False
+    # Renderer.forward checks the overflow counter after each call and warns
+    # when binning truncated instances (missing geometry). Costs one scalar
+    # device->host readback per call; set False in throughput-critical loops
+    # and check Renderer.last_aux yourself.
+    warn_on_overflow: bool = True

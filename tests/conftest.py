@@ -1,7 +1,9 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
 Tests validate numerics and sharding on CPU (the TPU analogue of a fake
-backend); the real chip is exercised by bench.py and the TPU parity suite.
+backend); the real chip is exercised by bench.py and the on-chip parity
+suite (run `DMESH2_TPU_TESTS=1 python -m pytest tests/test_tpu_parity.py`
+to keep the real backend and verify hardware lowering).
 
 Note: under the axon TPU tunnel, the JAX_PLATFORMS env var is overridden at
 interpreter start, so the platform must be forced programmatically via
@@ -11,11 +13,14 @@ before the first jax.devices()).
 
 import os
 
+TPU_TESTS = os.environ.get("DMESH2_TPU_TESTS", "0") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not TPU_TESTS and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -81,13 +81,19 @@ def test_validation_errors():
 
 
 def test_overflow_reported_and_finite():
+    import warnings
+
     r, a, b, hw = _renderer()
     small = Renderer(np.asarray(r.mv), np.asarray(r.proj), hw, hw,
                      config=RasterConfig(binning_capacity=128, interpret=True))
-    c, d = small.forward(
-        jnp.arange(b), jnp.zeros((b, 2), jnp.int32), hw, hw,
-        a["verts"], a["faces"], a["verts_color"], a["faces_opacity"],
-        a["faces_intense"], a["background"], 1.0,
-    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        c, d = small.forward(
+            jnp.arange(b), jnp.zeros((b, 2), jnp.int32), hw, hw,
+            a["verts"], a["faces"], a["verts_color"], a["faces_opacity"],
+            a["faces_intense"], a["background"], 1.0,
+        )
     assert int(small.last_aux.num_truncated) > 0
+    assert any(issubclass(w.category, RuntimeWarning)
+               and "truncated" in str(w.message) for w in caught)
     assert bool(jnp.isfinite(c).all()) and bool(jnp.isfinite(d).all())

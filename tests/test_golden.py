@@ -5,8 +5,16 @@ pipeline: any change to the numbers produced for this fixed icosphere scene
 (2 views, 48x48, tau in {0, 1}) must be a conscious decision (regenerate
 with the script in this file's docstring history or rewrite the .npz).
 
+IMPORTANT: these fixtures pin THIS REPO'S OWN outputs (generated on the CPU
+backend in interpret mode) as a drift tripwire. They are NOT the "gradient
+parity vs CUDA reference" metric of SURVEY.md section 4.4 -- the CUDA
+reference cannot run in this TPU-only environment, so no cross-implementation
+golden data exists. Cross-checking is instead done structurally: Pallas vs
+the pure-XLA reference compositor (test_pallas_fwd/test_pallas_bwd), analytic
+grads vs jax.grad and finite differences (test_aa, test_reference_render).
+
 Tolerances allow float reassociation (e.g., scan restructuring) but catch
-semantic drift. Fixture generated on the CPU backend in interpret mode.
+semantic drift.
 """
 
 import os

@@ -39,6 +39,51 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=1e-6)
 
 
+def test_sharded_grads_match_single_device_grad():
+    """The psum/pmean path must reproduce unsharded jax.grad of the SAME
+    mean loss (pins the pmean scaling: a mean-vs-sum mistake fails at 1e-6).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    b, hw = 8, 32
+    verts, faces, vc, op, it, mv, proj, bg = _scene(b)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    params = SceneParams(verts=verts, verts_color=vc, faces_opacity=op)
+    target = 0.3 * jnp.ones((b, hw, hw, 3), jnp.float32)
+
+    def local_loss(params, fi_s, mv_s, proj_s, tgt_s):
+        color, _, _ = render(
+            params.verts, faces, params.verts_color, params.faces_opacity,
+            fi_s, mv_s, proj_s, bg, hw, hw, 1.0, CFG,
+        )
+        return jnp.mean((color - tgt_s) ** 2)
+
+    def shard_fn(params, fi_s, mv_s, proj_s, tgt_s):
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, fi_s, mv_s, proj_s, tgt_s
+        )
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
+        return jax.lax.pmean(loss, "dp"), grads
+
+    loss_sh, grads_sh = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(params, it, mv, proj, target)
+
+    loss_ref, grads_ref = jax.value_and_grad(local_loss)(
+        params, it, mv, proj, target
+    )
+    # per-shard mean + pmean reassociates the reduction vs one global mean
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), atol=1e-6)
+    for name, a, b_ in zip(SceneParams._fields, grads_sh, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-6, err_msg=name
+        )
+
+
 def test_sharded_train_step_decreases_loss():
     import optax
 
