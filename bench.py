@@ -89,9 +89,12 @@ def main():
     if on_tpu and os.environ.get("BENCH_HEADLINE_ONLY", "0") != "1":
         run_secondary_configs()
     if on_tpu:
-        # ~5.04M entries are actually binned for this scene; 6M capacity
-        # keeps headroom while trimming the R-proportional pipeline stages.
-        width, height, n_faces, capacity = 1920, 1080, 1_000_000, 6 * (1 << 20)
+        # ~5.02M entries are actually binned for this scene (the profiler
+        # prints the exact count); 5.25M capacity keeps ~220k headroom while
+        # trimming every R-proportional pipeline stage. The reference sizes
+        # this buffer exactly, after a device->host readback of the count
+        # (renderer.cu:174-183).
+        width, height, n_faces, capacity = 1920, 1080, 1_000_000, 40 * (1 << 17)
     else:  # CPU smoke-scale so the bench always emits a line
         width, height, n_faces, capacity = 256, 256, 1280, 1 << 14
 

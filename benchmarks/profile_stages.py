@@ -91,11 +91,21 @@ def main():
 
     binning, t_bin = timeit(
         "bin_faces (keys+sort+ranges)",
-        lambda aav, d, al: bin_faces(aav, d, al, pm, w, h, capacity, kt),
+        lambda aav, d, al: bin_faces(aav, d, al, pm, w, h, capacity, kt,
+                                     num_giant_faces=cfg.num_giant_faces),
         aa_verts, depth01, alive)
     print(f"    num_rendered={int(binning.num_rendered)} "
           f"num_truncated={int(binning.num_truncated)} capacity={capacity}")
 
+    from dmesh2_renderer_tpu.ops.binning import build_face_table, gather_stream
+
+    table, t_table = timeit(
+        "  pack: build_face_table",
+        lambda: build_face_table(verts, faces, vc, op, verts_ndc, it_,
+                                 aa_verts))
+    _, t_gather = timeit(
+        "  pack: gather_stream", lambda e: gather_stream(table, e),
+        binning.entry_bf)
     stream, t_pack = timeit(
         "pack_face_stream (table+gather)",
         lambda e: pack_face_stream(e, verts, faces, vc, op, verts_ndc, it_,

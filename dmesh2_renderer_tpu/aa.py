@@ -60,9 +60,14 @@ def _edge_area(xa, ya, xb, yb, x0, x1, y0, y1):
     dx = xb - xa
     dy = yb - ya
     dy_safe = jnp.where(jnp.abs(dy) > _EPS, dy, jnp.where(dy >= 0, _EPS, -_EPS))
+    # Reciprocals are taken on the EDGE-shaped operands (broadcasting against
+    # the box planes afterwards): in the Pallas kernels edges are (C, 1) and
+    # boxes (1, N), so this turns every (C, N) divide -- the costliest VPU op
+    # in the pipeline -- into a multiply.
+    rcp_dy = 1.0 / dy_safe
     # y-slab [y0, y1] in edge parameter t (p = a + t*(b-a)).
-    ts0 = (y0 - ya) / dy_safe
-    ts1 = (y1 - ya) / dy_safe
+    ts0 = (y0 - ya) * rcp_dy
+    ts1 = ts0 + (y1 - y0) * rcp_dy
     ta = jnp.clip(jnp.minimum(ts0, ts1), 0.0, 1.0)
     tb = jnp.clip(jnp.maximum(ts0, ts1), 0.0, 1.0)
     tb = jnp.maximum(ta, tb)
@@ -70,10 +75,10 @@ def _edge_area(xa, ya, xb, yb, x0, x1, y0, y1):
     k = xa - x0
     w = x1 - x0
     big = jnp.abs(dx) > _EPS
-    dxs = jnp.where(big, dx, 1.0)
+    rcp_dx = 1.0 / jnp.where(big, dx, 1.0)
     # crossing parameters where the clamped linear hits 0 and w
-    tc0 = -k / dxs
-    tc1 = (w - k) / dxs
+    tc0 = -k * rcp_dx
+    tc1 = tc0 + w * rcp_dx
     lo = jnp.clip(jnp.minimum(tc0, tc1), ta, tb)
     hi = jnp.clip(jnp.maximum(tc0, tc1), ta, tb)
     vlo = jnp.clip(k + lo * dx, 0.0, w)
@@ -132,9 +137,9 @@ def _edge_clip_interval(xa, ya, xb, yb, x0, x1, y0, y1):
     def slab(pa, pb, lo, hi):
         d = pb - pa
         big = jnp.abs(d) > _EPS
-        d_safe = jnp.where(big, d, 1.0)
-        u0 = (lo - pa) / d_safe
-        u1 = (hi - pa) / d_safe
+        rcp_d = 1.0 / jnp.where(big, d, 1.0)  # edge-shaped; see _edge_area
+        u0 = (lo - pa) * rcp_d
+        u1 = u0 + (hi - lo) * rcp_d
         enter = jnp.minimum(u0, u1)
         exit_ = jnp.maximum(u0, u1)
         inside0 = (pa >= lo) & (pa <= hi)
@@ -150,6 +155,30 @@ def _edge_clip_interval(xa, ya, xb, yb, x0, x1, y0, y1):
     return t0, t1
 
 
+def tri_box_edge_weights_xy(x0c, y0c, x1c, y1c, x2c, y2c, bx0, bx1, by0, by1):
+    """Per-edge shape-derivative weights (j1, j2) for each directed edge.
+
+    For edge e = (a -> b) with clip interval [t0, t1] (Liang-Barsky inside
+    the box), the area gradient splits as
+        d area / d a = (dy, -dx) * j1,    d area / d b = (dy, -dx) * j2
+    with j2 = (t1^2 - t0^2)/2 and j1 = (t1 - t0) - j2. Since (dy, -dx) is
+    face-only, callers that reduce over pixels can reduce the (face, pixel)
+    weights alone and apply the edge deltas after the reduction (the Pallas
+    backward kernel does exactly this).
+
+    Returns ((j1_0, j2_0), (j1_1, j2_1), (j1_2, j2_2)).
+    """
+    xs = (x0c, x1c, x2c)
+    ys = (y0c, y1c, y2c)
+    out = []
+    for e in range(3):
+        j = (e + 1) % 3
+        t0, t1 = _edge_clip_interval(xs[e], ys[e], xs[j], ys[j], bx0, bx1, by0, by1)
+        j2 = 0.5 * (t1 * t1 - t0 * t0)
+        out.append(((t1 - t0) - j2, j2))
+    return tuple(out)
+
+
 def tri_box_overlap_grad_xy(x0c, y0c, x1c, y1c, x2c, y2c, bx0, bx1, by0, by1):
     """Coordinate-plane variant of :func:`tri_box_overlap_area_grad`.
 
@@ -158,15 +187,14 @@ def tri_box_overlap_grad_xy(x0c, y0c, x1c, y1c, x2c, y2c, bx0, bx1, by0, by1):
     """
     xs = (x0c, x1c, x2c)
     ys = (y0c, y1c, y2c)
+    jw = tri_box_edge_weights_xy(x0c, y0c, x1c, y1c, x2c, y2c, bx0, bx1, by0, by1)
     gx = [0.0, 0.0, 0.0]
     gy = [0.0, 0.0, 0.0]
     for e in range(3):
         j = (e + 1) % 3
         dx = xs[j] - xs[e]
         dy = ys[j] - ys[e]
-        t0, t1 = _edge_clip_interval(xs[e], ys[e], xs[j], ys[j], bx0, bx1, by0, by1)
-        j2 = 0.5 * (t1 * t1 - t0 * t0)
-        j1 = (t1 - t0) - j2
+        j1, j2 = jw[e]
         gx[e] = gx[e] + dy * j1
         gy[e] = gy[e] - dx * j1
         gx[j] = gx[j] + dy * j2

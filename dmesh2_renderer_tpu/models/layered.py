@@ -49,6 +49,8 @@ class LayeredRenderer(Renderer):
                 binning = bin_faces(
                     tris.verts, min_depth, alive, patch_min, width, height,
                     cfg.binning_capacity, cfg.max_tiles_per_face,
+                    num_giant_faces=cfg.num_giant_faces,
+                    giant_tiles=cfg.giant_tiles,
                 )
                 stream = pack_peel_stream(
                     binning.entry_bf, verts, faces, faces_existence

@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from dmesh2_renderer_tpu.utils.config import (
+    FACE_RECORD_WIDTH,
     STREAM_BLOCK,
     TILE_X,
     TILE_Y,
@@ -60,6 +61,8 @@ class Binning(NamedTuple):
     tile_counts: jnp.ndarray   # (T_total,) int32
     num_rendered: jnp.ndarray  # () int32: true duplicated-instance count
     num_truncated: jnp.ndarray  # () int32: instances dropped by Kt / capacity
+    giant_ids: jnp.ndarray     # (M2,) int32 b*F+f of tier-2 ("giant") faces,
+                               # sentinel BF; empty when the tier is disabled
 
 
 def tile_grid_size(patch_width: int, patch_height: int):
@@ -99,7 +102,20 @@ def bin_faces(
     patch_height: int,
     capacity: int,
     max_tiles_per_face: int,
+    num_giant_faces: int = 0,
+    giant_tiles: int | None = None,
 ) -> Binning:
+    """Static-capacity tile binning (module docstring has the design).
+
+    ``max_tiles_per_face`` (Kt) caps the dense per-face emission grid; faces
+    touching more tiles spill into the GIANT tier: up to ``num_giant_faces``
+    of them (selected by lowest entry id) additionally emit tiles
+    [Kt, Kt + giant_tiles), where ``giant_tiles`` defaults to the full tile
+    grid -- so a camera-filling triangle is binned into every tile it
+    touches, matching the reference's unbounded duplication
+    (renderer.cu:415-465), without paying a (BF x tiles) dense grid.
+    Anything beyond both tiers is truncated and reported.
+    """
     b, f = depth01.shape
     bf = b * f
     gx, gy = tile_grid_size(patch_width, patch_height)
@@ -112,9 +128,6 @@ def bin_faces(
     emit = jnp.minimum(touched, kt)
     num_rendered = jnp.sum(touched)
     num_emitted = jnp.sum(emit)
-    num_truncated = num_rendered - num_emitted + jnp.maximum(
-        num_emitted - capacity, 0
-    )
 
     # Emission grid (BF, Kt): k-th touched tile of each face, y-major order
     # matching duplicateWithKeys (renderer.cu:452-464).
@@ -159,9 +172,63 @@ def bin_faces(
     payload = jnp.broadcast_to(
         jnp.arange(bf, dtype=jnp.int32)[:, None], (bf, kt)
     )
+    keys_flat = [key.reshape(-1)]
+    payloads_flat = [payload.reshape(-1)]
+
+    # Giant tier: faces with touched > Kt emit their REMAINING tiles from a
+    # compacted (M2, Kt2) grid. Selection = the M2 lowest entry ids among
+    # the oversized faces (one BF-sized single-key sort).
+    m2 = min(num_giant_faces, bf)
+    if m2 > 0:
+        kt2 = gx * gy if giant_tiles is None else min(giant_tiles, gx * gy)
+        big = touched > kt
+        sel_key = jnp.where(big, jnp.arange(bf, dtype=jnp.int32),
+                            jnp.int32(0x7FFFFFFF))
+        giant_ids = jax.lax.sort((sel_key,), num_keys=1, is_stable=True)[0][:m2]
+        valid_g = giant_ids != jnp.int32(0x7FFFFFFF)
+        safe_g = jnp.where(valid_g, giant_ids, 0)
+        rx0_g = rx0.reshape(bf)[safe_g]
+        ry0_g = ry0.reshape(bf)[safe_g]
+        rw_g = jnp.maximum(rw.reshape(bf)[safe_g], 1)[:, None]
+        touched_g = touched[safe_g]
+        dq_g = dq.reshape(bf)[safe_g]
+        batch_g = (safe_g // f)[:, None]
+        k2 = jnp.arange(kt2, dtype=jnp.int32)[None, :] + kt       # (1, Kt2)
+        dy2 = k2 // rw_g
+        dx2 = k2 - dy2 * rw_g
+        tile2 = batch_g * (gx * gy) + (ry0_g[:, None] + dy2) * gx + (
+            rx0_g[:, None] + dx2
+        )
+        valid2 = valid_g[:, None] & (k2 < touched_g[:, None])
+        keys_flat.append(jnp.where(
+            valid2, (tile2 << bits_d) | dq_g[:, None], jnp.int32(0x7FFFFFFF)
+        ).reshape(-1))
+        payloads_flat.append(
+            jnp.broadcast_to(safe_g[:, None], (m2, kt2)).reshape(-1)
+        )
+        emitted_g = jnp.sum(jnp.where(
+            valid_g, jnp.clip(touched_g - kt, 0, kt2), 0
+        ))
+        num_emitted = num_emitted + emitted_g
+        giant_ids = jnp.where(valid_g, giant_ids, bf)
+    else:
+        giant_ids = jnp.zeros((0,), jnp.int32)
+
+    num_truncated = num_rendered - num_emitted + jnp.maximum(
+        num_emitted - capacity, 0
+    )
+
+    # Small scenes can have fewer emission slots than the (block-rounded)
+    # capacity; pad with sentinels so the sorted stream is exactly capacity.
+    total_slots = sum(k.shape[0] for k in keys_flat)
+    if total_slots < capacity:
+        pad_n = capacity - total_slots
+        keys_flat.append(jnp.full((pad_n,), 0x7FFFFFFF, jnp.int32))
+        payloads_flat.append(jnp.zeros((pad_n,), jnp.int32))
 
     key_sorted, entry_sorted = jax.lax.sort(
-        (key.reshape(-1), payload.reshape(-1)), num_keys=1, is_stable=True
+        (jnp.concatenate(keys_flat), jnp.concatenate(payloads_flat)),
+        num_keys=1, is_stable=True,
     )
     key_sorted = key_sorted[:capacity]
     entry_bf = jnp.where(key_sorted != jnp.int32(0x7FFFFFFF),
@@ -172,23 +239,107 @@ def bin_faces(
     edges = jnp.searchsorted(key_sorted, bounds, side="left").astype(jnp.int32)
     starts = edges[:-1]
     counts = edges[1:] - starts
-    return Binning(entry_bf, starts, counts, num_rendered, num_truncated)
+    return Binning(entry_bf, starts, counts, num_rendered, num_truncated,
+                   giant_ids)
 
 
 # Face-stream record layout (FACE_RECORD_WIDTH = 32 f32 words per entry):
 #   [0:9)   v0.xyz v1.xyz v2.xyz      world-space triangle
 #   [9:18)  c0.rgb c1.rgb c2.rgb      vertex colors
-#   [18:21) z0 z1 z2                  per-batch NDC depths
-#   [21]    opacity
-#   [22]    intensity (per batch)
+#   [18]    opacity
+#   [19]    intensity (per batch)
+#   [20:23) z0 z1 z2                  per-batch NDC depths
 #   [23:29) aa x0 y0 x1 y1 x2 y2      CCW screen-space triangle
 #   [29:32) pad
 REC_V = 0
 REC_C = 9
-REC_Z = 18
-REC_OP = 21
-REC_IN = 22
+REC_OP = 18
+REC_IN = 19
+REC_Z = 20
 REC_AA = 23
+
+# Gathered-table split: XLA TPU row gathers are fast only from narrow
+# CONTIGUOUS tables (measured, 6M reads from a 1M-row table: width 8 -> 39
+# ms, width 16 -> 47 ms, width 32 -> 240 ms; slicing a wide table inside jit
+# de-optimizes to the wide case, and widths sum roughly linearly). The
+# 29-word record rides as 16 + 8 + 5 (fastest of the splits measured
+# end-to-end including the block transpose: 170 vs 188 (16+13) vs 242
+# direct).
+_TABLE_SPLITS = (16, 8, 5)
+
+
+def gather_face_corners(verts, verts_color, verts_ndc, faces):
+    """ONE consolidated per-corner row gather for the whole pipeline.
+
+    Builds a per-vertex table [xyz | rgb | ndc_z per batch] and gathers all
+    3F corner rows at once: XLA TPU gathers pay per ROW far more than per
+    column (measured: width 1 costs 60 ms where width 8 costs 39 ms at 6M
+    reads), so one 6+B-wide gather replaces the four separate corner
+    gathers (verts, colors, z for binning, z for records) the pipeline
+    otherwise issues. Batches beyond width 16 chunk the z columns.
+
+    Returns (v9 (F, 9), c9 (F, 9), z (B, F, 3)).
+    """
+    b = verts_ndc.shape[0]
+    f = faces.shape[0]
+    vid = faces.reshape(-1)
+    zcols = jnp.swapaxes(verts_ndc[..., 2], 0, 1)                # (P, B)
+    if 6 + b <= 16:
+        vtab = jnp.concatenate([verts, verts_color, zcols], axis=1)
+        fv = vtab[vid].reshape(f, 3, 6 + b)
+        v9 = fv[:, :, 0:3].reshape(f, 9)
+        c9 = fv[:, :, 3:6].reshape(f, 9)
+        z = jnp.transpose(fv[:, :, 6:], (2, 0, 1))               # (B, F, 3)
+    else:
+        vtab = jnp.concatenate([verts, verts_color], axis=1)
+        fv = vtab[vid].reshape(f, 3, 6)
+        v9 = fv[:, :, 0:3].reshape(f, 9)
+        c9 = fv[:, :, 3:6].reshape(f, 9)
+        zs = [zcols[:, k:k + 16][vid] for k in range(0, b, 16)]
+        z = jnp.transpose(
+            jnp.concatenate(zs, axis=1).reshape(f, 3, b), (2, 0, 1)
+        )
+    return v9, c9, z
+
+
+def build_face_table_from_corners(
+    v9,              # (F, 9) world corners
+    c9,              # (F, 9) corner colors
+    z,               # (B, F, 3) corner NDC depths
+    faces_opacity,   # (F,)
+    faces_intense,   # (B, F)
+    aa_face_verts,   # (B, F, 3, 2)
+):
+    """Per-(batch, face) record table as separate CONTIGUOUS split arrays.
+
+    Column layout across the splits matches the REC_* constants:
+    [v 0:9 | c 9:18 | op 18 | in 19 | z 20:23 | aa 23:29].
+    """
+    b, f = faces_intense.shape
+    op = jnp.broadcast_to(faces_opacity[None, :, None], (b, f, 1))
+    it = faces_intense[:, :, None]
+    aa = aa_face_verts.reshape(b, f, 6)
+    vb = jnp.broadcast_to(v9[None], (b, f, 9))
+    cb = jnp.broadcast_to(c9[None], (b, f, 9))
+    parts = [vb, cb, op, it, z, aa]
+
+    def cols(lo, hi):
+        out, pos = [], 0
+        for part in parts:
+            w = part.shape[2]
+            s, e = max(lo - pos, 0), min(hi - pos, w)
+            if s < e:
+                out.append(part[:, :, s:e])
+            pos += w
+        return jnp.concatenate(out, axis=2).reshape(b * f, hi - lo)
+
+    splits, pos = [], 0
+    for w in _TABLE_SPLITS:
+        splits.append(cols(pos, pos + w))
+        pos += w
+    # The barrier pins each split as its own materialized contiguous buffer
+    # so XLA cannot re-fuse them into one wide gather operand.
+    return jax.lax.optimization_barrier(tuple(splits))
 
 
 def build_face_table(
@@ -200,41 +351,28 @@ def build_face_table(
     faces_intense,   # (B, F)
     aa_face_verts,   # (B, F, 3, 2)
 ):
-    """Per-(batch, face) record table as TWO contiguous (B*F, 16) arrays.
-
-    All gathers here are F-sized (faces -> verts), not R-sized; the R-sized
-    access is the row gather in :func:`gather_stream`. XLA TPU row-gather
-    throughput is non-monotonic in row width; 2x16 measures fastest at the
-    1M-table / 6M-read scale (228 vs 279 ms direct-32 vs 356 ms 4x8).
-    """
-    b = verts_ndc.shape[0]
-    f = faces.shape[0]
-    vid = faces  # (F, 3)
-    v = verts[vid].reshape(f, 9)                                  # (F, 9)
-    c = verts_color[vid].reshape(f, 9)
-    z = verts_ndc[:, :, 2][:, vid]                                # (B, F, 3)
-    op = jnp.broadcast_to(faces_opacity[None, :, None], (b, f, 1))
-    it = faces_intense[:, :, None]
-    aa = aa_face_verts.reshape(b, f, 6)
-    vb = jnp.broadcast_to(v[None], (b, f, 9))
-    cb = jnp.broadcast_to(c[None], (b, f, 9))
-    pad = jnp.zeros((b, f, 3), v.dtype)
-    flat = jnp.concatenate([vb, cb, z, op, it, aa, pad], axis=2).reshape(b * f, 32)
-    return tuple(flat[:, 16 * k:16 * (k + 1)] for k in range(2))
+    """:func:`build_face_table_from_corners` with the corner gather included."""
+    v9, c9, z = gather_face_corners(verts, verts_color, verts_ndc, faces)
+    return build_face_table_from_corners(
+        v9, c9, z, faces_opacity, faces_intense, aa_face_verts
+    )
 
 
 def gather_stream(face_table, entry_bf):
     """(R,) sorted entries -> (R/128, 32, 128) field-major DMA blocks.
 
-    Two 16-wide row gathers from the split (B*F, 16) tables (sentinel
-    entries read row 0 and are masked by tile_counts in the kernels),
-    emitted directly in the blocked field-major layout the kernels DMA.
+    Narrow contiguous row gathers from the split tables (sentinel entries
+    read row 0 and are masked by tile_counts in the kernels), emitted in the
+    blocked field-major layout the kernels DMA.
     """
     r = entry_bf.shape[0]
     nb = r // STREAM_BLOCK
     safe = jnp.minimum(entry_bf, face_table[0].shape[0] - 1)
-    rows = jnp.concatenate([t[safe] for t in face_table], axis=1)
-    return rows.reshape(nb, STREAM_BLOCK, 32).transpose(0, 2, 1)
+    parts = [t[safe] for t in face_table]
+    width = sum(t.shape[1] for t in face_table)
+    pad = jnp.zeros((r, FACE_RECORD_WIDTH - width), parts[0].dtype)
+    rows = jnp.concatenate(parts + [pad], axis=1)
+    return rows.reshape(nb, STREAM_BLOCK, FACE_RECORD_WIDTH).transpose(0, 2, 1)
 
 
 def pack_face_stream(

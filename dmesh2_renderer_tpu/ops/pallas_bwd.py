@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dmesh2_renderer_tpu.aa import tri_box_overlap_grad_xy
+from dmesh2_renderer_tpu.aa import tri_box_edge_weights_xy
 from dmesh2_renderer_tpu.geometry import clamp_bary_uv_grad
 from dmesh2_renderer_tpu.utils.config import (
     FACE_RECORD_WIDTH,
@@ -214,105 +214,101 @@ def _bwd_kernel(
         dl_du = dl_duc * duc_du + dl_dvc * dvc_du
         dl_dv = dl_duc * duc_dv + dl_dvc * dvc_dv
 
-        # Moller-Trumbore uv Jacobians on coordinate planes (auxiliary.h:245-290)
-        v0x, v0y, v0z = _col(buf, REC_V + 0), _col(buf, REC_V + 1), _col(buf, REC_V + 2)
-        v1x, v1y, v1z = _col(buf, REC_V + 3), _col(buf, REC_V + 4), _col(buf, REC_V + 5)
-        v2x, v2y, v2z = _col(buf, REC_V + 6), _col(buf, REC_V + 7), _col(buf, REC_V + 8)
-        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-        t0x, t0y, t0z = ox - v0x, oy - v0y, oz - v0z
-
-        rxe2x = rdy * e2z - rdz * e2y
-        rxe2y = rdz * e2x - rdx * e2z
-        rxe2z = rdx * e2y - rdy * e2x
-        den_s = rxe2x * e1x + rxe2y * e1y + rxe2z * e1z
-        den2 = den_s * den_s
-        inv_den = jnp.where(den2 > 0.0, 1.0 / jnp.where(den2 > 0.0, den2, 1.0), 0.0)
-
-        v0s = rxe2x * t0x + rxe2y * t0y + rxe2z * t0z
-        # qvec = cross(t0, e1): pixel-independent (C, 1)
-        qvx = t0y * e1z - t0z * e1y
-        qvy = t0z * e1x - t0x * e1z
-        qvz = t0x * e1y - t0y * e1x
-        v2s = qvx * e2x + qvy * e2y + qvz * e2z
-
-        # cross(t0, d), cross(e1, d), cross(e2, t0), cross(e1, e2)
-        txdx = t0y * rdz - t0z * rdy
-        txdy = t0z * rdx - t0x * rdz
-        txdz = t0x * rdy - t0y * rdx
-        e1dx = e1y * rdz - e1z * rdy
-        e1dy = e1z * rdx - e1x * rdz
-        e1dz = e1x * rdy - e1y * rdx
-        e2t0x = e2y * t0z - e2z * t0y
-        e2t0y = e2z * t0x - e2x * t0z
-        e2t0z = e2x * t0y - e2y * t0x
-        e12x = e1y * e2z - e1z * e2y
-        e12y = e1z * e2x - e1x * e2z
-        e12z = e1x * e2y - e1y * e2x
-
-        du_de1x = -rxe2x * v0s * inv_den
-        du_de1y = -rxe2y * v0s * inv_den
-        du_de1z = -rxe2z * v0s * inv_den
-        du_de2x = (txdx * den_s - v0s * e1dx) * inv_den
-        du_de2y = (txdy * den_s - v0s * e1dy) * inv_den
-        du_de2z = (txdz * den_s - v0s * e1dz) * inv_den
-        du_dtx = rxe2x * den_s * inv_den
-        du_dty = rxe2y * den_s * inv_den
-        du_dtz = rxe2z * den_s * inv_den
-
-        # v = dot(qvec, d)/den_s (NOT the reference's mislabeled t-gradient;
-        # see geometry.ray_tri_intersection_uv_grad)
-        vns = qvx * rdx + qvy * rdy + qvz * rdz
-        dv_de1x = (-txdx * den_s - vns * rxe2x) * inv_den
-        dv_de1y = (-txdy * den_s - vns * rxe2y) * inv_den
-        dv_de1z = (-txdz * den_s - vns * rxe2z) * inv_den
-        dv_de2x = -vns * e1dx * inv_den
-        dv_de2y = -vns * e1dy * inv_den
-        dv_de2z = -vns * e1dz * inv_den
-        dv_dtx = e1dx * den_s * inv_den
-        dv_dty = e1dy * den_s * inv_den
-        dv_dtz = e1dz * den_s * inv_den
-
+        # --- Moller-Trumbore vertex gradients, factored (auxiliary.h:245-290
+        # re-derived; see geometry.ray_tri_intersection_uv_grad for the dv
+        # fix). Every Jacobian term is (pixel scalar) x (cross of the ray
+        # direction with a face vector), so with only THREE per-pixel scalar
+        # fields
+        #     s_ab = (duv*u + dvv*v)/den,  s_a3 = duv/den,  s_b1 = dvv/den
+        # the pixel-reduced gradients collapse to cross products of the
+        # reduced moments M_s = [sum s*rd_x, sum s*rd_y, sum s*rd_z] with
+        # the face vectors:
+        #     sum_px dp1 = -(M_ab x e2) - (t0 x M_b1)
+        #     sum_px dp2 =  (t0 x M_a3) - (e1 x M_ab)
+        #     sum_px dp0 = -dp1 - dp2 - (M_a3 x e2) - (e1 x M_b1)
+        # This replaces ~100 (C, N) VPU ops of the expanded Jacobian with 3
+        # field builds + 9 weighted reductions. (Offloading the reductions
+        # to the MXU was measured SLOWER on v5e: the 23-field stack concat
+        # plus a HIGHEST-precision (3C, N) @ (N, 4) costs more than VPU
+        # lane reductions; see docs/DESIGN.md.)
         duv = dl_du * ok
         dvv = dl_dv * ok
-        dp1x = duv * du_de1x + dvv * dv_de1x
-        dp1y = duv * du_de1y + dvv * dv_de1y
-        dp1z = duv * du_de1z + dvv * dv_de1z
-        dp2x = duv * du_de2x + dvv * dv_de2x
-        dp2y = duv * du_de2y + dvv * dv_de2y
-        dp2z = duv * du_de2z + dvv * dv_de2z
-        # dp0 = -de1 - de2 - dt  (dT/dp0 = -1)
-        dp0x = -dp1x - dp2x - (duv * du_dtx + dvv * dv_dtx)
-        dp0y = -dp1y - dp2y - (duv * du_dty + dvv * dv_dty)
-        dp0z = -dp1z - dp2z - (duv * du_dtz + dvv * dv_dtz)
+        s_ab = (duv * q.u + dvv * q.v) * q.inv
+        s_a3 = duv * q.inv
+        s_b1 = dvv * q.inv
 
         # AA vertex grads via the shape derivative (replaces the oarea ring
-        # buffer path, backward.cu:241-284, 407-415).
+        # buffer path, backward.cu:241-284, 407-415): per edge e = (a -> b),
+        # d area = (dy_e, -dx_e) * (j1 at a, j2 at b) with dx/dy face-only,
+        # so only the (C, N) weights j1/j2 enter the pixel reduction.
         if aa_temperature > 0.0:
             dl_doarea = dl_da * op * aa_temperature
-            ax0, ay0 = _col(buf, REC_AA + 0), _col(buf, REC_AA + 1)
-            ax1, ay1 = _col(buf, REC_AA + 2), _col(buf, REC_AA + 3)
-            ax2, ay2 = _col(buf, REC_AA + 4), _col(buf, REC_AA + 5)
-            ga = tri_box_overlap_grad_xy(
-                ax0, ay0, ax1, ay1, ax2, ay2, px0, px0 + 1.0, py0, py0 + 1.0
+            ax = (_col(buf, REC_AA + 0), _col(buf, REC_AA + 2), _col(buf, REC_AA + 4))
+            ay = (_col(buf, REC_AA + 1), _col(buf, REC_AA + 3), _col(buf, REC_AA + 5))
+            jw = tri_box_edge_weights_xy(
+                ax[0], ay[0], ax[1], ay[1], ax[2], ay[2],
+                px0, px0 + 1.0, py0, py0 + 1.0,
             )
-            daa = [dl_doarea * g for g in ga]
+            aa_fields = [dl_doarea * w for j1j2 in jw for w in j1j2]
         else:
-            daa = [jnp.zeros_like(dl_da)] * 6
+            aa_fields = [jnp.zeros_like(dl_da)] * 6
 
         def red(x):
             return jnp.sum(x, axis=1, keepdims=True)
 
+        def mom(s):
+            return (red(s * rdx), red(s * rdy), red(s * rdz))
+
+        m_ab, m_a3, m_b1 = mom(s_ab), mom(s_a3), mom(s_b1)
+
+        # Face vectors (C, 1) for the cross-product epilogue.
+        v0x, v0y, v0z = _col(buf, REC_V + 0), _col(buf, REC_V + 1), _col(buf, REC_V + 2)
+        v1x, v1y, v1z = _col(buf, REC_V + 3), _col(buf, REC_V + 4), _col(buf, REC_V + 5)
+        v2x, v2y, v2z = _col(buf, REC_V + 6), _col(buf, REC_V + 7), _col(buf, REC_V + 8)
+        e1 = (v1x - v0x, v1y - v0y, v1z - v0z)
+        e2 = (v2x - v0x, v2y - v0y, v2z - v0z)
+        t0 = (ox - v0x, oy - v0y, oz - v0z)
+
+        def cross(a, b):
+            return (a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0])
+
+        c_ab_e2 = cross(m_ab, e2)
+        c_t0_b1 = cross(t0, m_b1)
+        c_t0_a3 = cross(t0, m_a3)
+        c_e1_ab = cross(e1, m_ab)
+        c_a3_e2 = cross(m_a3, e2)
+        c_e1_b1 = cross(e1, m_b1)
+        dp1 = [-c_ab_e2[k] - c_t0_b1[k] for k in range(3)]
+        dp2 = [c_t0_a3[k] - c_e1_ab[k] for k in range(3)]
+        dp0 = [-dp1[k] - dp2[k] - c_a3_e2[k] - c_e1_b1[k] for k in range(3)]
+
+        # AA epilogue: combine the reduced edge weights with the face-only
+        # edge deltas (outward normal * edge length = (dy, -dx) for CCW).
+        r1 = [red(aa_fields[2 * e]) for e in range(3)]
+        r2 = [red(aa_fields[2 * e + 1]) for e in range(3)]
+        daa = []
+        if aa_temperature > 0.0:
+            for k in range(3):
+                e_in, e_out = (k - 1) % 3, k  # edges ending / starting at k
+                dxo = ax[(e_out + 1) % 3] - ax[e_out]
+                dyo = ay[(e_out + 1) % 3] - ay[e_out]
+                dxi = ax[(e_in + 1) % 3] - ax[e_in]
+                dyi = ay[(e_in + 1) % 3] - ay[e_in]
+                daa += [dyo * r1[e_out] + dyi * r2[e_in],
+                        -dxo * r1[e_out] - dxi * r2[e_in]]
+        else:
+            daa = [jnp.zeros((chunk, 1), jnp.float32)] * 6
+
+        # Column layout mirrors the face-record REC_* constants: dp at REC_V,
+        # dvc at REC_C, dop/dint at REC_OP/REC_IN, dvz at REC_Z, daa at REC_AA.
         rec = jnp.concatenate(
-            [
-                red(dp0x), red(dp0y), red(dp0z),
-                red(dp1x), red(dp1y), red(dp1z),
-                red(dp2x), red(dp2y), red(dp2z),
-            ]
+            dp0 + dp1 + dp2
             + [red(x) for x in dvc]
-            + [red(x) for x in dvz]
             + [red(dl_dop), red(dl_dint)]
-            + [red(x) for x in daa]
+            + [red(x) for x in dvz]
+            + daa
             + [jnp.zeros((chunk, GRAD_RECORD_WIDTH - 29), jnp.float32)],
             axis=1,
         )
@@ -466,14 +462,23 @@ def _segment_tails(acc, keys, n_out):
     """Gather each segment's last row (= its segment sum) into (n_out, W).
 
     ``keys`` must be sorted; out-of-range keys (sentinels) are dropped;
-    segments absent from ``keys`` yield zero rows.
+    segments absent from ``keys`` yield zero rows. Implemented as a
+    searchsorted + n_out-sized row gather: an R-sized scatter-max here costs
+    ~an order of magnitude more than the binary search (XLA TPU scatters
+    run far below sort/gather throughput; docs/DESIGN.md).
     """
     r = keys.shape[0]
     pos = jnp.arange(r, dtype=jnp.int32)
+    # Scatter-max beats both searchsorted lowerings here (61 ms vs 80 ms
+    # method='sort' vs 907 ms default binary search, 6M rows -> 1M segments).
     last = jnp.full((n_out,), -1, jnp.int32).at[
         jnp.minimum(keys, n_out)
     ].max(pos, mode="drop")
-    return jnp.where((last >= 0)[:, None], acc[jnp.maximum(last, 0)], 0.0)
+    safe = jnp.maximum(last, 0)
+    valid = last >= 0
+    accs = acc if isinstance(acc, (list, tuple)) else (acc,)
+    out = [jnp.where(valid[:, None], a[safe], 0.0) for a in accs]
+    return out[0] if len(out) == 1 else jnp.concatenate(out, axis=1)
 
 
 def scatter_entry_grads(
@@ -483,6 +488,9 @@ def scatter_entry_grads(
     n_verts: int,
     n_batch: int,
     max_tiles_per_face: int = 64,
+    max_vertex_valence: int = 256,
+    giant_ids=None,            # (M2,) int32 tier-2 face ids (sentinel B*F)
+    giant_seg_len: int = 0,    # static bound on a tier-2 face's entry count
 ):
     """Deterministic reduction of per-entry grads to the six input tensors.
 
@@ -504,30 +512,61 @@ def scatter_entry_grads(
 
     # Sort grads by entry id; sentinel/garbage rows (id == BF, including the
     # never-written tail past the last tile) sort to the end and are dropped
-    # by the mode='drop' scatters below. Sorting (key, iota) and applying the
-    # permutation with a split row gather is far cheaper to compile and run
-    # than carrying 29 payload columns through the sort. NaN garbage is
+    # by the validity masks below. Sorting (key, iota) and applying the
+    # permutation with row gathers is far cheaper than carrying 29 payload
+    # columns through the sort. The gathers read from barrier-materialized
+    # CONTIGUOUS 16-wide halves: XLA TPU row gathers from a narrow
+    # contiguous table run ~2.5x faster than from in-jit slices of the wide
+    # one (measured: 2 x 47 ms vs 191 ms for 6M reads). NaN garbage is
     # masked to zero before the scan so it cannot poison real segments.
     sbf, perm = jax.lax.sort(
         (entry_bf, jnp.arange(r, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
-    # 2x16-wide permutation gathers (fastest measured split at this scale).
-    rec = jnp.concatenate(
-        [grad_records[:, :16][perm], grad_records[:, 16:][perm]], axis=1
-    )[:, :29]
-    rec = jnp.where((sbf < bf)[:, None], rec, 0.0)
+    mask = (sbf < bf)[:, None]
+    pieces = [jnp.where(mask, h[perm], 0.0)
+              for h in (grad_records[:, :16], grad_records[:, 16:])]
 
     # Segmented inclusive prefix sum along rows: segments are runs of equal
     # sbf, each of length <= Kt by construction (a face is binned into at
     # most Kt tiles), so log2(Kt) shifted masked adds suffice.
-    acc = _segmented_prefix_sum(rec, sbf, max_tiles_per_face)
+    accs = [_segmented_prefix_sum(p, sbf, max_tiles_per_face) for p in pieces]
 
     # Last row of each segment holds the full segment sum.
-    d_face = _segment_tails(acc, sbf, bf).reshape(n_batch, f, 29)
+    d_face = _segment_tails(accs, sbf, bf)[:, :29]
+
+    # Giant-tier correction: a tier-2 face has up to giant_seg_len entries,
+    # far beyond the Kt-deep scan window, so its tail row only holds the sum
+    # of its last Kt rows. But a Kt-pass Hillis-Steele scan makes EVERY row
+    # an exact Kt-window sum, so the full segment sum is the ladder
+    #   sum_j acc[last - j*Kt]  for  last - j*Kt >= first
+    # (windows abut exactly; the lowest is clipped to the segment by the
+    # scan's own key masking). M2 x ceil(len/Kt) rows -- a tiny gather.
+    if giant_ids is not None and giant_ids.shape[0] > 0 and giant_seg_len > 0:
+        m2 = giant_ids.shape[0]
+        valid_g = giant_ids < bf
+        safe_g = jnp.where(valid_g, giant_ids, 0)
+        first = jnp.searchsorted(sbf, safe_g, side="left").astype(jnp.int32)
+        last = jnp.searchsorted(sbf, safe_g, side="right").astype(jnp.int32) - 1
+        win = max_tiles_per_face
+        nlad = -(-giant_seg_len // win)
+        pos = last[:, None] - win * jnp.arange(nlad, dtype=jnp.int32)[None, :]
+        ok = (pos >= first[:, None]) & valid_g[:, None]
+        posc = jnp.maximum(pos, 0).reshape(-1)
+        seg = jnp.concatenate([a[posc] for a in accs], axis=1)[:, :29]
+        seg = jnp.where(ok.reshape(-1)[:, None], seg, 0.0)
+        tot = seg.reshape(m2, nlad, 29).sum(axis=1)
+        idx = jnp.where(valid_g, safe_g, bf)
+        d_face = d_face.at[idx].set(tot, mode="drop", unique_indices=True)
+
+    d_face = d_face.reshape(n_batch, f, 29)
 
     # Face -> shared-vertex reduction: same sort + segmented-scan machinery
     # over the 3F face-corner incidences (an XLA scatter-add here costs 3-4x
-    # more, measured). Scan depth is log2(3F) so any vertex valence is exact.
+    # more, measured). Scan depth is log2(max_vertex_valence), NOT log2(3F):
+    # a vertex with more than ``max_vertex_valence`` incident faces would get
+    # a truncated gradient sum, but real meshes sit at valence ~6 and the
+    # default (256) leaves a 40x margin while saving ~2/3 of the scan passes
+    # at 1M-face scale.
     d_fsum = d_face.sum(axis=0)                               # (F, 29)
     contrib = jnp.concatenate(
         [
@@ -547,7 +586,9 @@ def scatter_entry_grads(
     sv, vperm = jax.lax.sort(
         (vids, jnp.arange(3 * f, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
-    vacc = _segmented_prefix_sum(contrib[vperm], sv, 3 * f)
+    vacc = _segmented_prefix_sum(
+        contrib[vperm], sv, min(3 * f, max_vertex_valence)
+    )
     d_vert_all = _segment_tails(vacc, sv, n_verts)             # (P, 6 + B)
     d_verts = d_vert_all[:, 0:3]
     d_vcolor = d_vert_all[:, 3:6]

@@ -72,6 +72,9 @@ class ChunkQuantities(NamedTuple):
     code: jnp.ndarray      # int32 barycentric clamp region code
     uc: jnp.ndarray        # clamped barycentrics
     vc: jnp.ndarray
+    u: jnp.ndarray         # unclamped Moller-Trumbore barycentrics
+    v: jnp.ndarray
+    inv: jnp.ndarray       # 1 / MT denominator (den = rd . (e2 x e1))
     ic_r: jnp.ndarray      # interpolated color * intensity
     ic_g: jnp.ndarray
     ic_b: jnp.ndarray
@@ -172,7 +175,7 @@ def chunk_face_quantities(buf, rank0, count, rdx, rdy, rdz, ox, oy, oz,
         oarea = jnp.zeros_like(ratio)
     return ChunkQuantities(
         passes=passes, alpha=alpha, ratio=ratio, oarea=oarea, code=code,
-        uc=uc, vc=vc,
+        uc=uc, vc=vc, u=u, v=v, inv=inv,
         ic_r=m_r * intense, ic_g=m_g * intense, ic_b=m_b * intense,
         m_r=m_r, m_g=m_g, m_b=m_b, i_d=i_d,
     )

@@ -28,10 +28,15 @@ import jax
 import jax.numpy as jnp
 
 from dmesh2_renderer_tpu.ops import reference as ref_ops
-from dmesh2_renderer_tpu.ops.binning import bin_faces, pack_face_stream
+from dmesh2_renderer_tpu.ops.binning import (
+    bin_faces,
+    build_face_table_from_corners,
+    gather_face_corners,
+    gather_stream,
+)
 from dmesh2_renderer_tpu.ops.pallas_bwd import composite_backward, scatter_entry_grads
 from dmesh2_renderer_tpu.ops.pallas_fwd import composite_forward
-from dmesh2_renderer_tpu.utils.config import RasterConfig
+from dmesh2_renderer_tpu.utils.config import TILE_X, TILE_Y, RasterConfig
 
 
 class RasterAux(NamedTuple):
@@ -57,16 +62,21 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
     tau = float(aa_temperature)
 
     def _pipeline(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
-                  aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d):
-        depth01, _, _, alive = ref_ops.face_depth01(verts_ndc, faces)
+                  aa_face_verts, faces, patch_min):
+        # One consolidated corner gather feeds both the depth preprocessing
+        # and the record table (binning.gather_face_corners docstring).
+        v9, c9, z = gather_face_corners(verts, verts_color, verts_ndc, faces)
+        depth01, _, _, alive = ref_ops.face_depth01_from_z(z)
         binning = bin_faces(
             aa_face_verts, depth01, alive, patch_min, patch_width, patch_height,
             config.binning_capacity, config.max_tiles_per_face,
+            num_giant_faces=config.num_giant_faces,
+            giant_tiles=config.giant_tiles,
         )
-        stream = pack_face_stream(
-            binning.entry_bf, verts, faces, verts_color, faces_opacity,
-            verts_ndc, faces_intense, aa_face_verts,
+        table = build_face_table_from_corners(
+            v9, c9, z, faces_opacity, faces_intense, aa_face_verts
         )
+        stream = gather_stream(table, binning.entry_bf)
         return binning, stream
 
     def rasterize_fwd_impl(verts, verts_color, faces_opacity, verts_ndc,
@@ -82,7 +92,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             return (color, depth, RasterAux(zero, zero)), None
         binning, stream = _pipeline(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
-            aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
+            aa_face_verts, faces, patch_min,
         )
         color, depth, final_t, prev_t, _, nc_tile = composite_forward(
             stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
@@ -91,7 +101,8 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
         )
         aux = RasterAux(binning.num_rendered, binning.num_truncated)
         residuals = (stream, binning.entry_bf, binning.tile_starts,
-                     binning.tile_counts, nc_tile, color, depth, final_t, prev_t)
+                     binning.tile_counts, binning.giant_ids, nc_tile,
+                     color, depth, final_t, prev_t)
         return (color, depth, aux), residuals
 
     @jax.custom_vjp
@@ -134,7 +145,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             d6 = vjp((g_color, g_depth))
             return (*d6, None, None, None, None, None)
 
-        (stream, entry_bf, starts, counts, nc_tile,
+        (stream, entry_bf, starts, counts, giant_ids, nc_tile,
          color, depth, final_t, prev_t) = residuals
         grad_records = composite_backward(
             stream, starts, counts, nc_tile, ray_o_cam, ray_d, background,
@@ -142,9 +153,16 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             patch_width, patch_height, tau,
             chunk=config.face_chunk, interpret=config.interpret,
         )
+        gx = -(-patch_width // TILE_X)
+        gy = -(-patch_height // TILE_Y)
+        kt2 = (gx * gy if config.giant_tiles is None
+               else min(config.giant_tiles, gx * gy))
         d_verts, d_vcolor, d_op, d_vndc_z, d_int, d_aa = scatter_entry_grads(
             grad_records, entry_bf, faces, verts.shape[0], verts_ndc.shape[0],
             max_tiles_per_face=config.max_tiles_per_face,
+            max_vertex_valence=config.max_vertex_valence,
+            giant_ids=giant_ids if config.num_giant_faces > 0 else None,
+            giant_seg_len=config.max_tiles_per_face + kt2,
         )
         d_vndc = jnp.zeros_like(verts_ndc).at[..., 2].set(d_vndc_z)
         return (d_verts, d_vcolor, d_op, d_vndc, d_int, d_aa,

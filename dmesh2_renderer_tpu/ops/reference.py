@@ -40,19 +40,24 @@ class RenderAux(NamedTuple):
     n_contrib: jnp.ndarray      # (B, H, W) int32
 
 
-def face_depth01(verts_ndc, faces):
+def face_depth01_from_z(z):
     """Per-(batch, face) mean/min/max NDC z mapped to [0,1], and cull mask.
 
-    Matches ``preprocessFaceCUDA`` (forward.cu:42-107). Returns
-    (depth, min_depth, max_depth, alive) each of shape (B, F).
+    Matches ``preprocessFaceCUDA`` (forward.cu:42-107), from pre-gathered
+    corner depths ``z`` of shape (B, F, 3). Returns (depth, min_depth,
+    max_depth, alive) each of shape (B, F).
     """
-    z = verts_ndc[:, faces, 2]  # (B, F, 3)
     mean_z = z.mean(axis=-1)
     min_z = z.min(axis=-1)
     max_z = z.max(axis=-1)
     alive = (max_z >= -1.0) & (min_z <= 1.0)
     to01 = lambda d: jnp.clip((d + 1.0) * 0.5, 0.0, 1.0)
     return to01(mean_z), to01(min_z), to01(max_z), alive
+
+
+def face_depth01(verts_ndc, faces):
+    """:func:`face_depth01_from_z` with the corner gather included."""
+    return face_depth01_from_z(verts_ndc[:, faces, 2])
 
 
 def render_reference(

@@ -70,11 +70,25 @@ class RasterConfig:
     binning_capacity: int = DEFAULT_BINNING_CAPACITY
     max_tiles_per_face: int = DEFAULT_MAX_TILES_PER_FACE
     face_chunk: int = DEFAULT_FACE_CHUNK
+    # Giant-face tier: up to this many faces whose tile rect exceeds
+    # max_tiles_per_face additionally emit their remaining tiles, up to
+    # giant_tiles each (None = the full tile grid, i.e. a camera-filling
+    # triangle is fully covered, matching the reference's unbounded
+    # duplication, renderer.cu:415-465). 0 disables the tier (oversized
+    # faces are clipped to their first max_tiles_per_face tiles, reported
+    # via num_truncated).
+    num_giant_faces: int = 64
+    giant_tiles: int | None = None
     # Use the Pallas kernels; False falls back to the pure-XLA reference
     # compositor (slow; used by tests and as executable documentation).
     use_pallas: bool = True
     # Run Pallas kernels in interpreter mode (CPU testing).
     interpret: bool = False
+    # Gradient-reduction segmented-scan depth for the face->shared-vertex
+    # stage: vertices with more incident faces than this get a truncated
+    # gradient sum. Real meshes sit at valence ~6; 256 leaves a wide margin
+    # while keeping the scan at 8 passes instead of log2(3F).
+    max_vertex_valence: int = 256
     # Renderer.forward checks the overflow counter after each call and warns
     # when binning truncated instances (missing geometry). Costs one scalar
     # device->host readback per call; set False in throughput-critical loops

@@ -85,6 +85,117 @@ def test_tile_grid_key_limit_raises_value_error():
                   capacity=128, max_tiles_per_face=4)
 
 
+def test_giant_face_fully_binned():
+    """A camera-filling triangle must land in EVERY tile it touches via the
+    giant tier, not be clipped to its first max_tiles_per_face tiles
+    (reference contract: unbounded duplication, renderer.cu:415-465)."""
+    width = height = 128  # 8x8 tile grid
+    # One huge triangle spanning the frame + one small one (tier-1 path).
+    aa = jnp.asarray(
+        [[[[-50.0, -50.0], [300.0, -40.0], [60.0, 300.0]],
+          [[2.0, 2.0], [10.0, 2.0], [6.0, 10.0]]]], jnp.float32)
+    depth01 = jnp.asarray([[0.5, 0.25]], jnp.float32)
+    alive = jnp.ones((1, 2), bool)
+    pm = jnp.zeros((1, 2), jnp.int32)
+
+    clipped = bin_faces(aa, depth01, alive, pm, width, height,
+                        capacity=512, max_tiles_per_face=4, num_giant_faces=0)
+    assert int(clipped.num_truncated) > 0
+
+    full = bin_faces(aa, depth01, alive, pm, width, height,
+                     capacity=512, max_tiles_per_face=4, num_giant_faces=4)
+    assert int(full.num_truncated) == 0
+    assert int(full.num_rendered) == int(jnp.sum(full.tile_counts))
+    assert int(full.giant_ids[0]) == 0 and int(full.giant_ids[1]) == 2  # sentinel
+
+    # Brute-force coverage of the giant face, with per-tile depth order.
+    gx, gy = tile_grid_size(width, height)
+    rx0, ry0, rw, rh = (np.asarray(x) for x in face_tile_rects(aa, pm, gx, gy))
+    entry = np.asarray(full.entry_bf)
+    starts = np.asarray(full.tile_starts)
+    counts = np.asarray(full.tile_counts)
+    for ty in range(gy):
+        for tx in range(gx):
+            tid = ty * gx + tx
+            expected = sorted(
+                fi for fi in range(2)
+                if rx0[0, fi] <= tx < rx0[0, fi] + rw[0, fi]
+                and ry0[0, fi] <= ty < ry0[0, fi] + rh[0, fi]
+            )
+            got = sorted(int(e) for e in entry[starts[tid]:starts[tid] + counts[tid]])
+            assert got == expected, (ty, tx, got, expected)
+
+
+def test_giant_face_render_and_grads_match_reference():
+    """End-to-end: a frame-spanning triangle renders and differentiates
+    identically to the pure-XLA reference compositor (which has no tile
+    capacity limits), exercising the giant gradient-reduction correction."""
+    import jax
+
+    from dmesh2_renderer_tpu.functional import render
+    from dmesh2_renderer_tpu.ops.reference import render_reference
+    from dmesh2_renderer_tpu.utils.config import RasterConfig
+
+    width = height = 64
+    # Face 0 spans ~52x55 px (~16 tiles > Kt=4 -> giant tier); coordinates
+    # stay moderate: at frame-dwarfing sizes (~5x overhang) the ANALYTIC
+    # gradient and AD-of-the-clipped-arithmetic legitimately diverge at
+    # subgradient ties (f32 cancellation in the reference's clip chain),
+    # which is not what this test pins.
+    verts = np.asarray(
+        [[-1.53, -1.71, 0.03], [1.62, -1.38, 0.21], [0.11, 1.83, -0.17],
+         [-0.41, -0.32, 0.52], [0.43, -0.29, 0.51], [0.02, 0.53, 0.48]],
+        np.float32)
+    faces = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+    mv = np.eye(4, dtype=np.float32)[None]
+    mv[0, 2, 3] = -3.0  # camera at z = +3 looking down -z
+    proj = np.asarray(  # perspective, near=1 far=10
+        [[1.5, 0, 0, 0], [0, 1.5, 0, 0],
+         [0, 0, -11.0 / 9.0, -20.0 / 9.0], [0, 0, -1.0, 0]], np.float32)[None]
+    vc = np.abs(verts) % 1.0
+    op = np.asarray([0.6, 0.8], np.float32)
+    it_ = np.ones((1, 2), np.float32)
+    bg = np.asarray([0.1, 0.2, 0.3], np.float32)
+    cfg = RasterConfig(binning_capacity=512, max_tiles_per_face=4,
+                       num_giant_faces=2, interpret=True)
+
+    def loss_pallas(v, c, o):
+        col, dep, aux = render(jnp.asarray(v), jnp.asarray(faces),
+                               jnp.asarray(c), jnp.asarray(o),
+                               jnp.asarray(it_), jnp.asarray(mv),
+                               jnp.asarray(proj), jnp.asarray(bg),
+                               width, height, 1.0, cfg)
+        return jnp.sum(jnp.sin(col * 2.0)) + jnp.sum(dep), (col, aux)
+
+    def loss_ref(v, c, o):
+        vj = jnp.asarray(v)
+        mvj, projj = jnp.asarray(mv), jnp.asarray(proj)
+        ray_o, ray_d = G.init_rays(mvj, projj, width, height)
+        verts_ndc, verts_image = G.compute_verts_ndc_image(
+            vj, mvj, projj, width, height)
+        tris = G.face_aa_triangles(verts_image, jnp.asarray(faces))
+        col, dep, _ = render_reference(
+            vj, jnp.asarray(faces), jnp.asarray(c), jnp.asarray(o),
+            verts_ndc, jnp.asarray(it_), tris.verts, jnp.asarray(bg),
+            jnp.zeros((1, 2), jnp.int32), ray_o, ray_d, 1.0)
+        dep = 1.0 - (dep + 1.0) / 2.0
+        return jnp.sum(jnp.sin(col * 2.0)) + jnp.sum(dep), col
+
+    (_, (col, aux)) = jax.jit(lambda *a: loss_pallas(*a))(verts, vc, op)
+    assert int(aux.num_truncated) == 0
+    (_, col_ref) = jax.jit(lambda *a: loss_ref(*a))(verts, vc, op)
+    np.testing.assert_allclose(np.asarray(col), np.asarray(col_ref), atol=5e-6)
+
+    g = jax.jit(jax.grad(lambda *a: loss_pallas(*a)[0], argnums=(0, 1, 2)))(
+        verts, vc, op)
+    g_ref = jax.jit(jax.grad(lambda *a: loss_ref(*a)[0], argnums=(0, 1, 2)))(
+        verts, vc, op)
+    for got, want, name in zip(g, g_ref, ("dverts", "dcolor", "dop")):
+        scale = max(np.abs(np.asarray(want)).max(), 1.0)
+        err = np.abs(np.asarray(got) - np.asarray(want)).max()
+        assert err < 1e-4 * scale, f"{name}: {err:.3e} vs scale {scale:.3e}"
+
+
 def test_binning_overflow_reported():
     width, height, b = 48, 32, 1
     aa_verts, depth01, alive, _ = _setup(width, height, b)
