@@ -47,9 +47,14 @@ def build_step(width, height, n_faces, capacity, tau):
     )
     config = RasterConfig(
         binning_capacity=capacity,
-        # Small soup triangles touch <= ~9 tiles; Kt=16 keeps the binning
-        # emission grid (BF x Kt) 4x smaller than the safe default of 64.
+        # Measured touched-tile distribution for this scene (benchmarks/
+        # profile_stages prints the counts): p50=4, p99=15, max=40. Kt=16
+        # keeps the dense emission grid (BF x Kt) 4x smaller than the safe
+        # default of 64; the 4289 faces beyond 16 tiles ride the giant tier
+        # (8192 x 32 extra slots, +1.6% keys) so NOTHING is truncated.
         max_tiles_per_face=16,
+        num_giant_faces=8192,
+        giant_tiles=32,
         interpret=jax.default_backend() == "cpu",
     )
 

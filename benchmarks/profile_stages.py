@@ -59,6 +59,7 @@ def main():
         w, h, n_faces, capacity, kt = 1920, 1080, 1_000_000, 6 * (1 << 20), 16
     tau = 1.0
     cfg = RasterConfig(binning_capacity=capacity, max_tiles_per_face=kt,
+                       num_giant_faces=8192, giant_tiles=32,
                        interpret=jax.default_backend() == "cpu")
 
     verts_np, faces_np = triangle_soup(n_faces, size=0.02)
@@ -92,7 +93,8 @@ def main():
     binning, t_bin = timeit(
         "bin_faces (keys+sort+ranges)",
         lambda aav, d, al: bin_faces(aav, d, al, pm, w, h, capacity, kt,
-                                     num_giant_faces=cfg.num_giant_faces),
+                                     num_giant_faces=cfg.num_giant_faces,
+                                     giant_tiles=cfg.giant_tiles),
         aa_verts, depth01, alive)
     print(f"    num_rendered={int(binning.num_rendered)} "
           f"num_truncated={int(binning.num_truncated)} capacity={capacity}")
@@ -125,7 +127,8 @@ def main():
         "composite_backward (Pallas)",
         lambda s, st, ct, nc: composite_backward(
             s, st, ct, nc, ray_o_cam, ray_d, bg, pm, color, depth,
-            final_t, prev_t, g_color, g_depth, w, h, tau),
+            final_t, prev_t, g_color, g_depth, jnp.zeros_like(g_depth),
+            w, h, tau),
         stream, binning.tile_starts, binning.tile_counts, nc_tile)
 
     _, t_scatter = timeit(

@@ -15,6 +15,40 @@ from dmesh2_renderer_tpu.ops.rasterize import make_rasterizer
 from dmesh2_renderer_tpu.utils.config import RasterConfig
 
 
+def render_partial(
+    verts,          # (P, 3)
+    faces,          # (F, 3) int32
+    verts_color,    # (P, 3)
+    faces_opacity,  # (F,)
+    faces_intense,  # (B, F)
+    mv,             # (B, 4, 4)
+    proj,           # (B, 4, 4)
+    background,     # (3,)
+    width: int,
+    height: int,
+    aa_temperature: float = 1.0,
+    config: RasterConfig | None = None,
+):
+    """Render B full-frame views, also returning the exit transmittance.
+
+    Returns (color, depth_raw, final_t, aux) with ``depth_raw`` the
+    UN-remapped composite -- the form face-parallel compositing needs
+    (parallel/face_parallel.py): partial framebuffers from disjoint depth
+    slabs combine with the associative ``over`` operator using final_t.
+    """
+    config = config or RasterConfig()
+    b = mv.shape[0]
+    ray_o, ray_d = G.init_rays(mv, proj, width, height)
+    verts_ndc, verts_image = G.compute_verts_ndc_image(verts, mv, proj, width, height)
+    aa_verts = G.face_aa_verts_ccw(verts_image, faces)
+    patch_min = jnp.zeros((b, 2), jnp.int32)
+    rasterize = make_rasterizer(width, height, float(aa_temperature), config)
+    return rasterize(
+        verts, verts_color, faces_opacity, verts_ndc, faces_intense, aa_verts,
+        faces, background, patch_min, ray_o[:, 0, 0, :], ray_d,
+    )
+
+
 def render(
     verts,          # (P, 3)
     faces,          # (F, 3) int32
@@ -30,16 +64,9 @@ def render(
     config: RasterConfig | None = None,
 ):
     """Render B full-frame views. Returns (color, depth in [0,1], aux)."""
-    config = config or RasterConfig()
-    b = mv.shape[0]
-    ray_o, ray_d = G.init_rays(mv, proj, width, height)
-    verts_ndc, verts_image = G.compute_verts_ndc_image(verts, mv, proj, width, height)
-    tris = G.face_aa_triangles(verts_image, faces)
-    patch_min = jnp.zeros((b, 2), jnp.int32)
-    rasterize = make_rasterizer(width, height, float(aa_temperature), config)
-    color, depth_raw, aux = rasterize(
-        verts, verts_color, faces_opacity, verts_ndc, faces_intense, tris.verts,
-        faces, background, patch_min, ray_o[:, 0, 0, :], ray_d,
+    color, depth_raw, _final_t, aux = render_partial(
+        verts, faces, verts_color, faces_opacity, faces_intense, mv, proj,
+        background, width, height, aa_temperature, config,
     )
     depth = 1.0 - (depth_raw + 1.0) / 2.0
     return color, depth, aux

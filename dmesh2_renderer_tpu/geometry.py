@@ -200,6 +200,63 @@ def face_aa_triangles(verts_image, faces) -> Triangles:
     return make_triangles(fv[..., 0, :], fv[..., 1, :], fv[..., 2, :])
 
 
+def _face_aa_verts_impl(verts_image, faces):
+    fv = verts_image[:, faces]                       # (B, F, 3, 2)
+    p0, p1, p2 = fv[..., 0, :], fv[..., 1, :], fv[..., 2, :]
+    neg = tri_area2(p0, p1, p2) < 0.0                # (B, F)
+    q1 = jnp.where(neg[..., None], p2, p1)
+    q2 = jnp.where(neg[..., None], p1, p2)
+    return jnp.stack([p0, q1, q2], axis=-2), neg
+
+
+@jax.custom_vjp
+def face_aa_verts_ccw(verts_image, faces):
+    """CCW screen-space AA triangles (B, F, 3, 2) -- the rasterizer input.
+
+    Value-identical to ``face_aa_triangles(verts_image, faces).verts``, but
+    with a hand-written backward: the corner-gather's natural VJP is an XLA
+    scatter-add over (B, P, 2), which costs ~140 ms at 1M faces on a v5e --
+    an order of magnitude more than the sort + segmented-scan face->vertex
+    reduction used here (the same machinery as ops/pallas_bwd
+    scatter_entry_grads; vertices with valence beyond 256 get truncated
+    gradient sums, far past any real mesh).
+    """
+    return _face_aa_verts_impl(verts_image, faces)[0]
+
+
+def _face_aa_verts_fwd(verts_image, faces):
+    out, neg = _face_aa_verts_impl(verts_image, faces)
+    return out, (neg, faces, verts_image.shape[1])
+
+
+def _face_aa_verts_bwd(res, g):
+    from dmesh2_renderer_tpu.utils.segments import (
+        segment_tails,
+        segmented_prefix_sum,
+    )
+
+    neg, faces, p = res
+    b, f = neg.shape
+    # Un-swap the cotangent (the CCW reorder is its own inverse).
+    g0 = g[..., 0, :]
+    g1 = jnp.where(neg[..., None], g[..., 2, :], g[..., 1, :])
+    g2 = jnp.where(neg[..., None], g[..., 1, :], g[..., 2, :])
+    contrib = jnp.concatenate(
+        [gk.transpose(1, 0, 2).reshape(f, 2 * b) for gk in (g0, g1, g2)],
+        axis=0,
+    )                                                 # (3F, 2B)
+    vids = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    sv, vperm = jax.lax.sort(
+        (vids, jnp.arange(3 * f, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    acc = segmented_prefix_sum(contrib[vperm], sv, min(3 * f, 256))
+    d_img = segment_tails(acc, sv, p)                 # (P, 2B)
+    return d_img.reshape(p, b, 2).transpose(1, 0, 2), None
+
+
+face_aa_verts_ccw.defvjp(_face_aa_verts_fwd, _face_aa_verts_bwd)
+
+
 def ray_tri_intersection(ray_o, ray_d, p0, p1, p2):
     """Moeller-Trumbore, unclamped (t, u, v) + validity.
 

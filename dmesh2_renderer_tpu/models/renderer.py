@@ -66,14 +66,14 @@ class Renderer:
                 verts_ndc, verts_image = G.compute_verts_ndc_image(
                     verts, b_mv, b_proj, width, height
                 )
-                tris = G.face_aa_triangles(verts_image, faces)
+                aa_verts = G.face_aa_verts_ccw(verts_image, faces)
                 ray_o, ray_d = G.select_rays(
                     ray_o_full, ray_d_full, batch_mvp_idx, batch_patch_min,
                     pw, ph,
                 )
-                color, depth_raw, aux = rasterize(
+                color, depth_raw, _final_t, aux = rasterize(
                     verts, verts_color, faces_opacity, verts_ndc,
-                    faces_intense, tris.verts, faces, background,
+                    faces_intense, aa_verts, faces, background,
                     batch_patch_min, ray_o[:, 0, 0, :], ray_d,
                 )
                 return color, 1.0 - (depth_raw + 1.0) / 2.0, aux

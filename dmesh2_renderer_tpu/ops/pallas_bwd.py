@@ -45,6 +45,10 @@ from dmesh2_renderer_tpu.utils.config import (
     TILE_Y,
 )
 from dmesh2_renderer_tpu.ops.binning import REC_AA, REC_C, REC_IN, REC_OP, REC_V, REC_Z
+from dmesh2_renderer_tpu.utils.segments import (
+    segmented_prefix_sum as _segmented_prefix_sum,
+    segment_tails as _segment_tails,
+)
 from dmesh2_renderer_tpu.ops.pallas_fwd import (
     _col,
     _cumsum_incl,
@@ -60,7 +64,7 @@ def _bwd_kernel(
     # inputs
     stream_ref,   # (NB, 32, 128) HBM field-major blocks
     ray_d_ref,    # (1, 4, 256) VMEM block
-    gin_ref,      # (1, 4, 256) VMEM block: [gr, gg, gb, gd]
+    gin_ref,      # (1, 8, 256) VMEM block: [gr, gg, gb, gd, gT, pad...]
     res_ref,      # (1, 8, 256) VMEM block: [Cnr, Cng, Cnb, Dn, Tfin, pTfin, -, -]
     bg_ref,       # (1, 4) VMEM
     # outputs
@@ -106,16 +110,19 @@ def _bwd_kernel(
     g_g = gin_ref[0, 1:2, :]
     g_b = gin_ref[0, 2:3, :]
     g_d = gin_ref[0, 3:4, :]
+    g_t = gin_ref[0, 4:5, :]   # cotangent of final_T (face-parallel combine)
     cn_r = res_ref[0, 0:1, :]
     cn_g = res_ref[0, 1:2, :]
     cn_b = res_ref[0, 2:3, :]
     dn = res_ref[0, 3:4, :]
     t_fin = res_ref[0, 4:5, :]
     pt_fin = res_ref[0, 5:6, :]
-    # background-term dot product (backward.cu:389-394)
+    # background-term dot product (backward.cu:389-394). A final_T output
+    # cotangent rides the same dT/dalpha = -T_fin/(1-a) machinery, so it
+    # simply adds to the dot.
     bg_dot = (
         bg_ref[0:1, 0:1] * g_r + bg_ref[0:1, 1:2] * g_g
-        + bg_ref[0:1, 2:3] * g_b + g_d
+        + bg_ref[0:1, 2:3] * g_b + g_d + g_t
     )
 
     nblocks = pl.cdiv(count + h0, chunk)
@@ -369,6 +376,7 @@ def composite_backward(
     # incoming gradients
     g_color,       # (B, H, W, 3)
     g_depth,       # (B, H, W)
+    g_final_t,     # (B, H, W) cotangent of final_T (zeros when unused)
     patch_width: int,
     patch_height: int,
     aa_temperature: float,
@@ -388,7 +396,8 @@ def composite_backward(
 
     ray_d_t = tile_rays(ray_d, gx, gy)
     gin_t = tile_pack(
-        [g_color[..., 0], g_color[..., 1], g_color[..., 2], g_depth], gx, gy
+        [g_color[..., 0], g_color[..., 1], g_color[..., 2], g_depth,
+         g_final_t], gx, gy, rows=8,
     )
     cn = out_color - final_t[..., None] * background[None, None, None, :]
     dnm = out_depth - final_t
@@ -409,7 +418,7 @@ def composite_backward(
             pl.BlockSpec(memory_space=pltpu.HBM),                      # stream
             pl.BlockSpec((1, 4, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                    # ray_d
-            pl.BlockSpec((1, 4, TILE_PIXELS), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 8, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                    # gin
             pl.BlockSpec((1, 8, TILE_PIXELS), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                    # residuals
@@ -436,49 +445,6 @@ def composite_backward(
     return unblock_stream(gout)
 
 
-def _shift_rows(x, s, fill):
-    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
-    return jnp.concatenate([pad, x[: x.shape[0] - s]], axis=0)
-
-
-def _segmented_prefix_sum(rec, keys, max_run):
-    """Inclusive segmented prefix sum over rows grouped by sorted ``keys``.
-
-    Hillis-Steele with log2(max_run) shifted masked adds -- numerically
-    local (each row only ever sums values from its own segment, unlike a
-    global cumsum + boundary-difference, which loses precision to the
-    running prefix).
-    """
-    acc = rec
-    s = 1
-    while s < max_run:
-        same = _shift_rows(keys[:, None], s, -1) == keys[:, None]
-        acc = acc + jnp.where(same, _shift_rows(acc, s, 0.0), 0.0)
-        s *= 2
-    return acc
-
-
-def _segment_tails(acc, keys, n_out):
-    """Gather each segment's last row (= its segment sum) into (n_out, W).
-
-    ``keys`` must be sorted; out-of-range keys (sentinels) are dropped;
-    segments absent from ``keys`` yield zero rows. Implemented as a
-    searchsorted + n_out-sized row gather: an R-sized scatter-max here costs
-    ~an order of magnitude more than the binary search (XLA TPU scatters
-    run far below sort/gather throughput; docs/DESIGN.md).
-    """
-    r = keys.shape[0]
-    pos = jnp.arange(r, dtype=jnp.int32)
-    # Scatter-max beats both searchsorted lowerings here (61 ms vs 80 ms
-    # method='sort' vs 907 ms default binary search, 6M rows -> 1M segments).
-    last = jnp.full((n_out,), -1, jnp.int32).at[
-        jnp.minimum(keys, n_out)
-    ].max(pos, mode="drop")
-    safe = jnp.maximum(last, 0)
-    valid = last >= 0
-    accs = acc if isinstance(acc, (list, tuple)) else (acc,)
-    out = [jnp.where(valid[:, None], a[safe], 0.0) for a in accs]
-    return out[0] if len(out) == 1 else jnp.concatenate(out, axis=1)
 
 
 def scatter_entry_grads(

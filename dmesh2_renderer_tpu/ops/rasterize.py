@@ -54,10 +54,14 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
         rasterize(verts, verts_color, faces_opacity, verts_ndc,
                   faces_intense, aa_face_verts,
                   faces, background, patch_min, ray_o_cam, ray_d)
-        -> (color, depth_raw, RasterAux)
+        -> (color, depth_raw, final_t, RasterAux)
 
     with gradients defined for the first six arguments, matching the six
-    kernel gradients of the reference (render.cu:313-318, 372).
+    kernel gradients of the reference (render.cu:313-318, 372). ``final_t``
+    (the per-pixel exit transmittance) is a differentiable output beyond the
+    reference's surface: it is what makes depth-slab face-parallel
+    compositing possible (parallel/face_parallel.py), and its cotangent
+    rides the backward kernel's existing -T/(1-a) background-term path.
     """
     tau = float(aa_temperature)
 
@@ -83,13 +87,13 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
                            faces_intense, aa_face_verts, faces, background,
                            patch_min, ray_o_cam, ray_d):
         if not config.use_pallas:
-            color, depth, _aux = ref_ops.render_reference(
+            color, depth, ref_aux = ref_ops.render_reference(
                 verts, faces, verts_color, faces_opacity, verts_ndc,
                 faces_intense, aa_face_verts, background, patch_min,
                 jnp.broadcast_to(ray_o_cam[:, None, None, :], ray_d.shape), ray_d, tau,
             )
             zero = jnp.zeros((), jnp.int32)
-            return (color, depth, RasterAux(zero, zero)), None
+            return (color, depth, ref_aux.final_t, RasterAux(zero, zero)), None
         binning, stream = _pipeline(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, patch_min,
@@ -103,7 +107,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
         residuals = (stream, binning.entry_bf, binning.tile_starts,
                      binning.tile_counts, binning.giant_ids, nc_tile,
                      color, depth, final_t, prev_t)
-        return (color, depth, aux), residuals
+        return (color, depth, final_t, aux), residuals
 
     @jax.custom_vjp
     def rasterize(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
@@ -126,23 +130,24 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
         return out, saved
 
     def bwd(saved, cotangents):
-        g_color, g_depth, _ = cotangents
+        g_color, g_depth, g_final_t, _ = cotangents
+        g_final_t = jnp.zeros_like(g_depth) if g_final_t is None else g_final_t
         (residuals, verts, verts_color, faces_opacity, verts_ndc,
          faces_intense, aa_face_verts, faces, background, patch_min,
          ray_o_cam, ray_d) = saved
 
         if not config.use_pallas:
             def f(v, c, o, nz, it, aa):
-                color, depth, _aux = ref_ops.render_reference(
+                color, depth, raux = ref_ops.render_reference(
                     v, faces, c, o, nz, it, aa, background, patch_min,
                     jnp.broadcast_to(ray_o_cam[:, None, None, :], ray_d.shape),
                     ray_d, tau,
                 )
-                return color, depth
+                return color, depth, raux.final_t
 
             _, vjp = jax.vjp(f, verts, verts_color, faces_opacity, verts_ndc,
                              faces_intense, aa_face_verts)
-            d6 = vjp((g_color, g_depth))
+            d6 = vjp((g_color, g_depth, g_final_t))
             return (*d6, None, None, None, None, None)
 
         (stream, entry_bf, starts, counts, giant_ids, nc_tile,
@@ -150,7 +155,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
         grad_records = composite_backward(
             stream, starts, counts, nc_tile, ray_o_cam, ray_d, background,
             patch_min, color, depth, final_t, prev_t, g_color, g_depth,
-            patch_width, patch_height, tau,
+            g_final_t, patch_width, patch_height, tau,
             chunk=config.face_chunk, interpret=config.interpret,
         )
         gx = -(-patch_width // TILE_X)

@@ -1,0 +1,21 @@
+from dmesh2_renderer_tpu.parallel.data_parallel import (
+    SceneParams,
+    make_sharded_train_step,
+    make_view_mesh,
+    render_views_sharded,
+)
+from dmesh2_renderer_tpu.parallel.face_parallel import (
+    make_face_mesh,
+    make_face_sharded_train_step,
+    render_faces_sharded,
+)
+
+__all__ = [
+    "SceneParams",
+    "make_sharded_train_step",
+    "make_view_mesh",
+    "render_views_sharded",
+    "make_face_mesh",
+    "make_face_sharded_train_step",
+    "render_faces_sharded",
+]

@@ -1,0 +1,61 @@
+"""Segmented reductions over sorted keys (TPU scatter-add replacement).
+
+XLA TPU scatters run far below sort/gather throughput (measured ~50x a
+same-size sort; docs/DESIGN.md), so every many-to-few reduction in this
+codebase is expressed as sort + segmented Hillis-Steele scan + segment-tail
+extraction. Shared by the gradient reduction (ops/pallas_bwd.py) and the
+screen-space AA chain (geometry.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def shift_rows(x, s, fill):
+    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[: x.shape[0] - s]], axis=0)
+
+
+def segmented_prefix_sum(rec, keys, max_run):
+    """Inclusive segmented prefix sum over rows grouped by sorted ``keys``.
+
+    Hillis-Steele with log2(max_run) shifted masked adds -- numerically
+    local (each row only ever sums values from its own segment, unlike a
+    global cumsum + boundary-difference, which loses precision to the
+    running prefix). Rows further than 2^ceil(log2(max_run)) from their
+    segment start get a truncated sum -- size max_run to the longest
+    segment you need exact.
+    """
+    acc = rec
+    s = 1
+    while s < max_run:
+        same = shift_rows(keys[:, None], s, -1) == keys[:, None]
+        acc = acc + jnp.where(same, shift_rows(acc, s, 0.0), 0.0)
+        s *= 2
+    return acc
+
+
+def segment_tails(acc, keys, n_out):
+    """Gather each segment's last row (= its segment sum) into (n_out, W).
+
+    ``keys`` must be sorted; out-of-range keys (sentinels) are dropped;
+    segments absent from ``keys`` yield zero rows. Implemented as a
+    scatter-max of positions + an n_out-row gather: cheaper than both
+    searchsorted lowerings at the scales used here (measured 61 vs 80 vs
+    907 ms at 6M rows -> 1M segments).
+
+    ``acc`` may be a list/tuple of column blocks sharing ``keys``; the
+    blocks are gathered per-piece and concatenated (narrow contiguous
+    gathers are faster than wide ones).
+    """
+    r = keys.shape[0]
+    pos = jnp.arange(r, dtype=jnp.int32)
+    last = jnp.full((n_out,), -1, jnp.int32).at[
+        jnp.minimum(keys, n_out)
+    ].max(pos, mode="drop")
+    safe = jnp.maximum(last, 0)
+    valid = last >= 0
+    accs = acc if isinstance(acc, (list, tuple)) else (acc,)
+    out = [jnp.where(valid[:, None], a[safe], 0.0) for a in accs]
+    return out[0] if len(out) == 1 else jnp.concatenate(out, axis=1)

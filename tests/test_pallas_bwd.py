@@ -72,8 +72,8 @@ def test_backward_matches_autodiff(tau):
     )
     grad_records = composite_backward(
         stream, binning.tile_starts, binning.tile_counts, nc_tile, ray_o_cam,
-        ray_d, bg, pm, color, depth, ft, pt, gc, gd, width, height, tau,
-        chunk=128, interpret=True,
+        ray_d, bg, pm, color, depth, ft, pt, gc, gd, jnp.zeros_like(gd),
+        width, height, tau, chunk=128, interpret=True,
     )
     d_verts, d_vcolor, d_op, d_vndc_z, d_int, d_aa = scatter_entry_grads(
         grad_records, binning.entry_bf, faces, verts.shape[0], 2
