@@ -34,20 +34,23 @@ def timeit(name, fn, *args, iters=5):
 
 
 def main():
-    rng = np.random.default_rng(0)
     r = 5_250_000
     bf = 1_000_000
     w = 29
 
+    # Generate ON DEVICE: host->device of the (R, 29) array through the
+    # remote tunnel takes minutes and dominates everything.
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+    n_real = int(r * 0.95)
     # Realistic keys: each face id appears ~R/BF times, scattered, plus a
     # sentinel tail (~5% here).
-    n_real = int(r * 0.95)
-    keys_np = np.concatenate([
-        rng.integers(0, bf, n_real, dtype=np.int32),
-        np.full(r - n_real, bf, np.int32),
-    ])
-    keys = jnp.asarray(keys_np)
-    rec = jnp.asarray(rng.standard_normal((r, w), dtype=np.float32))
+    keys = jnp.where(
+        jnp.arange(r) < n_real,
+        jax.random.randint(k0, (r,), 0, bf, dtype=jnp.int32),
+        jnp.int32(bf),
+    )
+    rec = jax.random.normal(k1, (r, w), jnp.float32)
+    keys, rec = jax.block_until_ready((keys, rec))
     iota = jnp.arange(r, dtype=jnp.int32)
 
     def baseline(keys, rec):

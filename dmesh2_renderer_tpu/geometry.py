@@ -233,6 +233,7 @@ def _face_aa_verts_bwd(res, g):
     from dmesh2_renderer_tpu.utils.segments import (
         segment_tails,
         segmented_prefix_sum,
+        sort_rows_by_key,
     )
 
     neg, faces, p = res
@@ -246,11 +247,12 @@ def _face_aa_verts_bwd(res, g):
         axis=0,
     )                                                 # (3F, 2B)
     vids = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
-    sv, vperm = jax.lax.sort(
-        (vids, jnp.arange(3 * f, dtype=jnp.int32)), num_keys=1, is_stable=True
+    sv, contrib_pieces = sort_rows_by_key(
+        vids, [contrib[:, i] for i in range(2 * b)]
     )
-    acc = segmented_prefix_sum(contrib[vperm], sv, min(3 * f, 256))
-    d_img = segment_tails(acc, sv, p)                 # (P, 2B)
+    accs = [segmented_prefix_sum(cp, sv, min(3 * f, 256))
+            for cp in contrib_pieces]
+    d_img = segment_tails(accs, sv, p)                # (P, 2B)
     return d_img.reshape(p, b, 2).transpose(1, 0, 2), None
 
 

@@ -45,6 +45,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from dmesh2_renderer_tpu.utils.config import (
     FACE_RECORD_WIDTH,
@@ -52,6 +53,49 @@ from dmesh2_renderer_tpu.utils.config import (
     TILE_X,
     TILE_Y,
 )
+
+
+def _copy_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+def materialize(x, interpret: bool = False):
+    """Force ``x`` into its own contiguous HBM buffer via an opaque copy.
+
+    ``jax.lax.optimization_barrier`` does NOT stop XLA from tracing a gather
+    operand back through concats/slices and decomposing the row gather into
+    per-piece gathers -- which is catastrophic when pieces are narrow
+    (width-1 gathers cost ~60 ms per 6M reads; measured: the same split
+    gather runs 147 ms from parameter tables vs 235 ms from in-jit
+    barrier'd tables, benchmarks/micro_packparts.py). A Pallas identity
+    copy is a custom call XLA cannot look through, so the result behaves
+    like a parameter: a real contiguous table. Cost: one dense copy
+    (~bandwidth, <1 ms for the face tables).
+
+    The copy runs on the array flattened and padded to (rows, 1024) -- an
+    exactly (8, 128)-tiled 2-D shape -- sidestepping both Mosaic's
+    minor-dim tiling constraints for narrow tables and the 1-D layout
+    mismatch XLA picks for small arrays (T(512) vs Mosaic's T(1024)).
+    """
+    n = x.size
+    lane = 1024
+    m = -(-n // lane)
+    flat = x.reshape(n)
+    if m * lane != n:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((m * lane - n,), x.dtype)]
+        )
+    arr = flat.reshape(m, lane)
+    block_rows = min(m, 512)                   # <= 2 MiB f32 per block
+    out = pl.pallas_call(
+        _copy_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, lane), x.dtype),
+        grid=(pl.cdiv(m, block_rows),),
+        in_specs=[pl.BlockSpec((block_rows, lane), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((block_rows, lane), lambda i: (i, 0)),
+        interpret=interpret,
+    )(arr)
+    return out.reshape(m * lane)[:n].reshape(x.shape)
 
 
 class Binning(NamedTuple):
@@ -309,6 +353,7 @@ def build_face_table_from_corners(
     faces_opacity,   # (F,)
     faces_intense,   # (B, F)
     aa_face_verts,   # (B, F, 3, 2)
+    interpret: bool = False,
 ):
     """Per-(batch, face) record table as separate CONTIGUOUS split arrays.
 
@@ -333,13 +378,17 @@ def build_face_table_from_corners(
             pos += w
         return jnp.concatenate(out, axis=2).reshape(b * f, hi - lo)
 
+    # Each split goes through an opaque Pallas copy: optimization_barrier
+    # alone does NOT stop XLA from decomposing the downstream row gather
+    # back into per-piece gathers of this concat (including catastrophic
+    # width-1 gathers for opacity/intensity) -- measured +88 ms vs gathering
+    # from true contiguous tables (micro_packparts.py; materialize
+    # docstring).
     splits, pos = [], 0
     for w in _TABLE_SPLITS:
-        splits.append(cols(pos, pos + w))
+        splits.append(materialize(cols(pos, pos + w), interpret=interpret))
         pos += w
-    # The barrier pins each split as its own materialized contiguous buffer
-    # so XLA cannot re-fuse them into one wide gather operand.
-    return jax.lax.optimization_barrier(tuple(splits))
+    return tuple(splits)
 
 
 def build_face_table(
@@ -350,11 +399,13 @@ def build_face_table(
     verts_ndc,       # (B, P, 3)
     faces_intense,   # (B, F)
     aa_face_verts,   # (B, F, 3, 2)
+    interpret: bool = False,
 ):
     """:func:`build_face_table_from_corners` with the corner gather included."""
     v9, c9, z = gather_face_corners(verts, verts_color, verts_ndc, faces)
     return build_face_table_from_corners(
-        v9, c9, z, faces_opacity, faces_intense, aa_face_verts
+        v9, c9, z, faces_opacity, faces_intense, aa_face_verts,
+        interpret=interpret,
     )
 
 
@@ -384,11 +435,12 @@ def pack_face_stream(
     verts_ndc,       # (B, P, 3)
     faces_intense,   # (B, F)
     aa_face_verts,   # (B, F, 3, 2)
+    interpret: bool = False,
 ):
     """Gather per-entry face records into (R/128, 32, 128) DMA blocks."""
     table = build_face_table(
         verts, faces, verts_color, faces_opacity, verts_ndc, faces_intense,
-        aa_face_verts,
+        aa_face_verts, interpret=interpret,
     )
     return gather_stream(table, entry_bf)
 

@@ -48,6 +48,7 @@ from dmesh2_renderer_tpu.ops.binning import REC_AA, REC_C, REC_IN, REC_OP, REC_V
 from dmesh2_renderer_tpu.utils.segments import (
     segmented_prefix_sum as _segmented_prefix_sum,
     segment_tails as _segment_tails,
+    sort_rows_by_key,
 )
 from dmesh2_renderer_tpu.ops.pallas_fwd import (
     _col,
@@ -478,24 +479,25 @@ def scatter_entry_grads(
 
     # Sort grads by entry id; sentinel/garbage rows (id == BF, including the
     # never-written tail past the last tile) sort to the end and are dropped
-    # by the validity masks below. Sorting (key, iota) and applying the
-    # permutation with row gathers is far cheaper than carrying 29 payload
-    # columns through the sort. The gathers read from barrier-materialized
-    # CONTIGUOUS 16-wide halves: XLA TPU row gathers from a narrow
-    # contiguous table run ~2.5x faster than from in-jit slices of the wide
-    # one (measured: 2 x 47 ms vs 191 ms for 6M reads). NaN garbage is
-    # masked to zero before the scan so it cannot poison real segments.
-    sbf, perm = jax.lax.sort(
-        (entry_bf, jnp.arange(r, dtype=jnp.int32)), num_keys=1, is_stable=True
+    # by the validity masks below. The 29 gradient columns ride the sort as
+    # PAYLOAD operands (utils/segments.sort_rows_by_key: two sorts sharing
+    # the key; measured 176 ms vs 261 ms for sort(key, iota) + split
+    # permutation gathers at R = 5.25M, benchmarks/micro_sortcarry.py).
+    # The split sorts may order rows differently within a segment --
+    # irrelevant, since only permutation-invariant per-segment SUMS are
+    # consumed. NaN garbage is masked to zero before the scan so it cannot
+    # poison real segments.
+    sbf, rec_pieces = sort_rows_by_key(
+        entry_bf, [grad_records[:, i] for i in range(29)]
     )
     mask = (sbf < bf)[:, None]
-    pieces = [jnp.where(mask, h[perm], 0.0)
-              for h in (grad_records[:, :16], grad_records[:, 16:])]
+    rec_pieces = [jnp.where(mask, p, 0.0) for p in rec_pieces]
 
     # Segmented inclusive prefix sum along rows: segments are runs of equal
     # sbf, each of length <= Kt by construction (a face is binned into at
     # most Kt tiles), so log2(Kt) shifted masked adds suffice.
-    accs = [_segmented_prefix_sum(p, sbf, max_tiles_per_face) for p in pieces]
+    accs = [_segmented_prefix_sum(p, sbf, max_tiles_per_face)
+            for p in rec_pieces]
 
     # Last row of each segment holds the full segment sum.
     d_face = _segment_tails(accs, sbf, bf)[:, :29]
@@ -549,13 +551,12 @@ def scatter_entry_grads(
         axis=0,
     )                                                          # (3F, 6 + B)
     vids = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
-    sv, vperm = jax.lax.sort(
-        (vids, jnp.arange(3 * f, dtype=jnp.int32)), num_keys=1, is_stable=True
+    sv, contrib_pieces = sort_rows_by_key(
+        vids, [contrib[:, i] for i in range(6 + n_batch)]
     )
-    vacc = _segmented_prefix_sum(
-        contrib[vperm], sv, min(3 * f, max_vertex_valence)
-    )
-    d_vert_all = _segment_tails(vacc, sv, n_verts)             # (P, 6 + B)
+    vaccs = [_segmented_prefix_sum(p, sv, min(3 * f, max_vertex_valence))
+             for p in contrib_pieces]
+    d_vert_all = _segment_tails(vaccs, sv, n_verts)            # (P, 6 + B)
     d_verts = d_vert_all[:, 0:3]
     d_vcolor = d_vert_all[:, 3:6]
     d_vndc_z = d_vert_all[:, 6:6 + n_batch].T

@@ -78,7 +78,8 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             giant_tiles=config.giant_tiles,
         )
         table = build_face_table_from_corners(
-            v9, c9, z, faces_opacity, faces_intense, aa_face_verts
+            v9, c9, z, faces_opacity, faces_intense, aa_face_verts,
+            interpret=config.interpret,
         )
         stream = gather_stream(table, binning.entry_bf)
         return binning, stream

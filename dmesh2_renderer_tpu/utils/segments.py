@@ -9,7 +9,33 @@ screen-space AA chain (geometry.py).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def sort_rows_by_key(keys, cols, max_payloads: int = 15):
+    """Stable-sort rows by ``keys``, carrying ``cols`` as lax.sort payloads.
+
+    Carrying payload columns through the sort beats sort(key, iota) + a
+    permutation row-gather (measured 176 vs 261 ms at 5.25M rows x 29 cols;
+    benchmarks/micro_sortcarry.py). Splitting across several sorts sharing
+    the key bounds compile time (a 30-operand sort does not finish
+    compiling). The splits may order rows differently WITHIN a segment of
+    equal keys -- callers must only consume permutation-invariant
+    per-segment reductions.
+
+    Returns (sorted_keys, [pieces]): one (R, <=max_payloads) matrix per
+    split sort. Pieces stay separate on purpose -- downstream segment-tail
+    gathers from NARROW matrices run far faster than from one wide one
+    (same XLA gather pathology as the face tables; docs/DESIGN.md).
+    """
+    pieces, sk = [], None
+    for s in range(0, len(cols), max_payloads):
+        o = jax.lax.sort((keys, *cols[s:s + max_payloads]), num_keys=1,
+                         is_stable=True)
+        sk = o[0]
+        pieces.append(jnp.stack(o[1:], axis=1))
+    return sk, pieces
 
 
 def shift_rows(x, s, fill):

@@ -64,7 +64,7 @@ def test_backward_matches_autodiff(tau):
     depth01, _, _, alive = face_depth01(verts_ndc, faces)
     binning = bin_faces(tris.verts, depth01, alive, pm, width, height,
                         capacity=8192, max_tiles_per_face=64)
-    stream = pack_face_stream(binning.entry_bf, verts, faces, vc, fo, verts_ndc, fi, tris.verts)
+    stream = pack_face_stream(binning.entry_bf, verts, faces, vc, fo, verts_ndc, fi, tris.verts, interpret=True)
     ray_o_cam = ray_o[:, 0, 0, :]
     color, depth, ft, pt, _, nc_tile = composite_forward(
         stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,

@@ -41,7 +41,7 @@ def test_pallas_forward_matches_reference(tau):
     depth01, _, _, alive = face_depth01(verts_ndc, faces)
     binning = bin_faces(tris.verts, depth01, alive, pm, width, height,
                         capacity=8192, max_tiles_per_face=64)
-    stream = pack_face_stream(binning.entry_bf, verts, faces, vc, fo, verts_ndc, fi, tris.verts)
+    stream = pack_face_stream(binning.entry_bf, verts, faces, vc, fo, verts_ndc, fi, tris.verts, interpret=True)
     color, depth, ft, pt, _, _nc = composite_forward(
         stream, binning.tile_starts, binning.tile_counts,
         ray_o[:, 0, 0, :], ray_d, bg, pm, width, height, tau,
