@@ -55,6 +55,11 @@ def build_step(width, height, n_faces, capacity, tau):
         max_tiles_per_face=16,
         num_giant_faces=8192,
         giant_tiles=32,
+        # Backward residual compaction: the profiler reports ~1M contributing
+        # entries for this scene (opacity 0.5 saturates T after ~26 faces);
+        # 2^21 = 2.1M gives ~2x headroom. Overflow fires a loud
+        # jax.debug.print (see RasterConfig docstring).
+        grad_compact_capacity=1 << 21,
         interpret=jax.default_backend() == "cpu",
     )
 
@@ -72,27 +77,60 @@ def build_step(width, height, n_faces, capacity, tau):
     return grad_fn, args
 
 
-def run_secondary_configs():
-    """Emit BASELINE.md configs 1, 2, 3, 5 as their own JSON lines.
+def _emit_stage_table(budget_left_s: float):
+    """Emit one profile_stages-derived JSON line (where the ms went).
 
-    The driver parses the LAST line (the config-4 headline); these extra
-    lines make round-over-round regressions in the small configs visible in
-    the BENCH artifacts too. Failures here must never mask the headline.
+    Budget-gated: the isolated stage jits add compile time, so skip when the
+    wall-clock budget is nearly spent -- the headline must never be masked.
     """
-    from benchmarks import run as bench_suite
+    if budget_left_s < 120.0:
+        print(json.dumps({"stages": "skipped", "reason": "budget"}), flush=True)
+        return
+    try:
+        import jax.numpy as jnp  # noqa: F811 (kept local: cheap re-import)
 
-    for k in (1, 2, 3, 5):
-        try:
-            getattr(bench_suite, f"config{k}")()
-        except Exception as e:  # pragma: no cover - diagnostic path
-            print(json.dumps({"config": f"{k}", "error": repr(e)[:300]}),
-                  flush=True)
+        from dmesh2_renderer_tpu.utils.meshes import (
+            orbit_cameras as _oc,
+            triangle_soup as _ts,
+        )
+        from dmesh2_renderer_tpu.utils.profiling import profile_render
+
+        verts_np, faces_np = _ts(1_000_000, size=0.02)
+        mv, proj = _oc(1, radius=3.0)
+        faces = jnp.asarray(faces_np)
+        f = faces.shape[0]
+        verts = jnp.asarray(verts_np)
+        cfg = RasterConfig(
+            binning_capacity=40 * (1 << 17), max_tiles_per_face=16,
+            num_giant_faces=8192, giant_tiles=32,
+            grad_compact_capacity=1 << 21,
+        )
+        report = profile_render(
+            verts, faces, jnp.abs(verts) % 1.0,
+            jnp.full((f,), 0.5, jnp.float32), jnp.ones((1, f), jnp.float32),
+            jnp.asarray(mv), jnp.asarray(proj), jnp.zeros((3,), jnp.float32),
+            1920, 1080, 1.0, cfg, iters=3, verbose=False,
+        )
+        print(json.dumps({
+            "stages": {k: round(v, 1) for k, v in report["stages_ms"].items()},
+            "e2e_ms": round(report["e2e_ms"], 1),
+            "unattributed_ms": round(report["unattributed_ms"], 1),
+            "num_contributing": report["num_contributing"],
+        }), flush=True)
+    except Exception as e:  # pragma: no cover - diagnostic path
+        print(json.dumps({"stages": "error", "error": repr(e)[:300]}),
+              flush=True)
 
 
 def main():
+    t_begin = time.monotonic()
+    # Total wall-clock allowance for everything BEYOND the headline metric.
+    # Round 2 lost its headline artifact to a driver timeout (rc=124) because
+    # the secondary configs ran first; now the headline runs FIRST, is
+    # emitted immediately, and is re-emitted after every extra line so the
+    # driver's last-line parse always sees it no matter where a timeout cuts.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and os.environ.get("BENCH_HEADLINE_ONLY", "0") != "1":
-        run_secondary_configs()
     if on_tpu:
         # ~5.02M entries are actually binned for this scene (the profiler
         # prints the exact count); 5.25M capacity keeps ~220k headroom while
@@ -118,7 +156,7 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
 
     mpix_s = width * height / dt / 1e6
-    print(json.dumps({
+    headline = json.dumps({
         "metric": "fwd+bwd Mpix/s, 1M tris @ 1080p, tau=1" if on_tpu
                   else "fwd+bwd Mpix/s (CPU smoke scale)",
         "value": round(mpix_s, 3),
@@ -127,7 +165,27 @@ def main():
         "ms_per_iter": round(dt * 1e3, 2),
         "baseline_assumed_mpix_s": ASSUMED_BASELINE_MPIX_S,
         "backend": jax.default_backend(),
-    }))
+    })
+    print(headline, flush=True)
+
+    if on_tpu and os.environ.get("BENCH_HEADLINE_ONLY", "0") != "1":
+        _emit_stage_table(budget_s - (time.monotonic() - t_begin))
+        print(headline, flush=True)
+        from benchmarks import run as bench_suite
+
+        for k in (1, 2, 3, 5):
+            left = budget_s - (time.monotonic() - t_begin)
+            if left < 120.0:
+                print(json.dumps({"config": f"{k}", "skipped": "budget"}),
+                      flush=True)
+            else:
+                try:
+                    getattr(bench_suite, f"config{k}")()
+                except Exception as e:  # pragma: no cover - diagnostic path
+                    print(json.dumps({"config": f"{k}",
+                                      "error": repr(e)[:300]}), flush=True)
+            # Keep the headline as the last parseable line at every point.
+            print(headline, flush=True)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from dmesh2_renderer_tpu import geometry as G
 from dmesh2_renderer_tpu.ops.rasterize import make_rasterizer
 from dmesh2_renderer_tpu.utils.config import RasterConfig
+from dmesh2_renderer_tpu.utils.validate import check_vertex_valence
 
 
 def render_partial(
@@ -40,7 +41,9 @@ def render_partial(
     b = mv.shape[0]
     ray_o, ray_d = G.init_rays(mv, proj, width, height)
     verts_ndc, verts_image = G.compute_verts_ndc_image(verts, mv, proj, width, height)
-    aa_verts = G.face_aa_verts_ccw(verts_image, faces)
+    check_vertex_valence(faces, config.max_vertex_valence)
+    aa_verts = G.face_aa_verts_ccw(verts_image, faces,
+                                   config.max_vertex_valence)
     patch_min = jnp.zeros((b, 2), jnp.int32)
     rasterize = make_rasterizer(width, height, float(aa_temperature), config)
     return rasterize(

@@ -14,6 +14,7 @@ reference (the "second gradient path", ``__init__.py:332-344``).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -209,8 +210,8 @@ def _face_aa_verts_impl(verts_image, faces):
     return jnp.stack([p0, q1, q2], axis=-2), neg
 
 
-@jax.custom_vjp
-def face_aa_verts_ccw(verts_image, faces):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def face_aa_verts_ccw(verts_image, faces, max_vertex_valence: int = 256):
     """CCW screen-space AA triangles (B, F, 3, 2) -- the rasterizer input.
 
     Value-identical to ``face_aa_triangles(verts_image, faces).verts``, but
@@ -218,18 +219,21 @@ def face_aa_verts_ccw(verts_image, faces):
     scatter-add over (B, P, 2), which costs ~140 ms at 1M faces on a v5e --
     an order of magnitude more than the sort + segmented-scan face->vertex
     reduction used here (the same machinery as ops/pallas_bwd
-    scatter_entry_grads; vertices with valence beyond 256 get truncated
-    gradient sums, far past any real mesh).
+    scatter_entry_grads). ``max_vertex_valence`` bounds the segmented-scan
+    depth: a vertex with more incident faces than this gets a TRUNCATED
+    gradient sum -- pass ``RasterConfig.max_vertex_valence`` so one knob
+    governs every valence-bounded reduction (callers with concrete ``faces``
+    can verify via ``utils.validate.check_vertex_valence``).
     """
     return _face_aa_verts_impl(verts_image, faces)[0]
 
 
-def _face_aa_verts_fwd(verts_image, faces):
+def _face_aa_verts_fwd(verts_image, faces, max_vertex_valence: int = 256):
     out, neg = _face_aa_verts_impl(verts_image, faces)
     return out, (neg, faces, verts_image.shape[1])
 
 
-def _face_aa_verts_bwd(res, g):
+def _face_aa_verts_bwd(max_vertex_valence, res, g):
     from dmesh2_renderer_tpu.utils.segments import (
         segment_tails,
         segmented_prefix_sum,
@@ -250,7 +254,7 @@ def _face_aa_verts_bwd(res, g):
     sv, contrib_pieces = sort_rows_by_key(
         vids, [contrib[:, i] for i in range(2 * b)]
     )
-    accs = [segmented_prefix_sum(cp, sv, min(3 * f, 256))
+    accs = [segmented_prefix_sum(cp, sv, min(3 * f, max_vertex_valence))
             for cp in contrib_pieces]
     d_img = segment_tails(accs, sv, p)                # (P, 2B)
     return d_img.reshape(p, b, 2).transpose(1, 0, 2), None

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from dmesh2_renderer_tpu import geometry as G
 from dmesh2_renderer_tpu.ops.rasterize import make_rasterizer
 from dmesh2_renderer_tpu.utils.config import RasterConfig
-from dmesh2_renderer_tpu.utils.validate import check_cameras, check_render_args
+from dmesh2_renderer_tpu.utils.validate import (
+    check_cameras,
+    check_render_args,
+    check_vertex_valence,
+)
 
 
 class Renderer:
@@ -42,6 +46,7 @@ class Renderer:
         self.aa_grad_buffer_size = aa_grad_buffer_size  # parity arg; unused
         self.config = config or RasterConfig()
         self.last_aux = None
+        self._valence_checked = set()
         # One jitted pipeline per (patch shape, tau): without this, every
         # preprocessing op dispatches eagerly (very expensive on remote
         # backends -- measured ~30 ms per dispatch through a TPU tunnel).
@@ -66,7 +71,9 @@ class Renderer:
                 verts_ndc, verts_image = G.compute_verts_ndc_image(
                     verts, b_mv, b_proj, width, height
                 )
-                aa_verts = G.face_aa_verts_ccw(verts_image, faces)
+                aa_verts = G.face_aa_verts_ccw(
+                    verts_image, faces, self.config.max_vertex_valence
+                )
                 ray_o, ray_d = G.select_rays(
                     ray_o_full, ray_d_full, batch_mvp_idx, batch_patch_min,
                     pw, ph,
@@ -108,6 +115,14 @@ class Renderer:
         )
         verts = jnp.asarray(verts, dtype=jnp.float32)
         faces = jnp.asarray(faces, dtype=jnp.int32)
+        # Valence check (gradient-truncation contract; see
+        # utils.validate.check_vertex_valence). Cached per faces shape: one
+        # host bincount on first use, free afterwards. Callers that mutate
+        # topology IN PLACE at a fixed shape should re-check themselves.
+        vkey = (faces.shape, self.config.max_vertex_valence)
+        if vkey not in self._valence_checked:
+            if check_vertex_valence(faces, self.config.max_vertex_valence):
+                self._valence_checked.add(vkey)
 
         fwd = self._get_fwd(int(patch_width), int(patch_height),
                             float(aa_temperature))

@@ -220,16 +220,23 @@ def bin_faces(
     payloads_flat = [payload.reshape(-1)]
 
     # Giant tier: faces with touched > Kt emit their REMAINING tiles from a
-    # compacted (M2, Kt2) grid. Selection = the M2 lowest entry ids among
-    # the oversized faces (one BF-sized single-key sort).
+    # compacted (M2, Kt2) grid. Selection = the M2 MOST-oversized faces
+    # (ascending Kt - touched key, ties broken by entry id via the stable
+    # payload sort), so when the tier itself overflows, a camera-filling
+    # triangle always wins a slot over faces that barely exceed Kt --
+    # matching the intent of the reference's unbounded duplication
+    # (renderer.cu:415-465) as closely as a bounded tier can.
     m2 = min(num_giant_faces, bf)
     if m2 > 0:
         kt2 = gx * gy if giant_tiles is None else min(giant_tiles, gx * gy)
         big = touched > kt
-        sel_key = jnp.where(big, jnp.arange(bf, dtype=jnp.int32),
-                            jnp.int32(0x7FFFFFFF))
-        giant_ids = jax.lax.sort((sel_key,), num_keys=1, is_stable=True)[0][:m2]
-        valid_g = giant_ids != jnp.int32(0x7FFFFFFF)
+        sel_key = jnp.where(big, kt - touched, jnp.int32(0x7FFFFFFF))
+        sk_g, giant_ids = jax.lax.sort(
+            (sel_key, jnp.arange(bf, dtype=jnp.int32)), num_keys=1,
+            is_stable=True,
+        )
+        sk_g, giant_ids = sk_g[:m2], giant_ids[:m2]
+        valid_g = sk_g != jnp.int32(0x7FFFFFFF)
         safe_g = jnp.where(valid_g, giant_ids, 0)
         rx0_g = rx0.reshape(bf)[safe_g]
         ry0_g = ry0.reshape(bf)[safe_g]
@@ -285,6 +292,56 @@ def bin_faces(
     counts = edges[1:] - starts
     return Binning(entry_bf, starts, counts, num_rendered, num_truncated,
                    giant_ids)
+
+
+def compact_tile_entries(
+    entry_bf,        # (R,) int32 sorted entries (sentinel = bf)
+    tile_starts,     # (T_total,) int32
+    tile_counts,     # (T_total,) int32
+    nc_tile,         # (T_total,) int32 per-tile max contributor rank (fwd)
+    capacity: int,   # static compacted capacity (rounded up to STREAM_BLOCK)
+    bf: int,         # sentinel value (B * F)
+):
+    """Keep only each tile's CONTRIBUTING prefix of entries.
+
+    The forward kernel reports, per tile, the 1-based rank of the last face
+    that blended into any pixel (``nc_tile``); every later entry has zero
+    gradient (its transmittance is below T_EPS for every pixel, so the
+    backward kernel's ``ok`` mask zeroes its record). Because ranks within a
+    tile are list positions, the contributing set is a PREFIX -- so
+    compaction is a per-tile prefix gather, no sort needed: the entry-level
+    analogue of the reference's per-pixel ``n_contrib`` skip
+    (backward.cu:219-221). At opacity ~0.5 transmittance crosses T_EPS after
+    ~26 faces, shrinking the gradient-record stream (and every R-sized sort/
+    scan in scatter_entry_grads) several-fold.
+
+    Entries beyond ``capacity`` are dropped (trailing tiles lose gradients);
+    the returned ``overflow`` count lets callers warn loudly.
+
+    Returns (entry_bf2 (R2,), starts2, counts2, overflow ()) with
+    R2 = capacity rounded up to STREAM_BLOCK.
+    """
+    t_total = tile_starts.shape[0]
+    cap2 = ((capacity + STREAM_BLOCK - 1) // STREAM_BLOCK) * STREAM_BLOCK
+    counts2 = jnp.minimum(tile_counts, jnp.maximum(nc_tile, 0))
+    edges2 = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(counts2, dtype=jnp.int32),
+    ])
+    total2 = edges2[-1]
+    overflow = jnp.maximum(total2 - cap2, 0)
+    # Clamp so every (start, count) window stays inside the compacted buffer
+    # even when it overflows (trailing tiles are truncated, reported above).
+    starts2 = jnp.minimum(edges2[:-1], cap2)
+    counts2 = jnp.minimum(counts2, cap2 - starts2)
+
+    j = jnp.arange(cap2, dtype=jnp.int32)
+    tile_of = jnp.searchsorted(edges2, j, side="right").astype(jnp.int32) - 1
+    tile_of = jnp.clip(tile_of, 0, t_total - 1)
+    src = tile_starts[tile_of] + (j - edges2[:-1][tile_of])
+    valid = j < jnp.minimum(total2, cap2)
+    entry_bf2 = jnp.where(valid, entry_bf[jnp.where(valid, src, 0)], bf)
+    return entry_bf2, starts2, counts2, overflow
 
 
 # Face-stream record layout (FACE_RECORD_WIDTH = 32 f32 words per entry):

@@ -504,18 +504,21 @@ def scatter_entry_grads(
 
     # Giant-tier correction: a tier-2 face has up to giant_seg_len entries,
     # far beyond the Kt-deep scan window, so its tail row only holds the sum
-    # of its last Kt rows. But a Kt-pass Hillis-Steele scan makes EVERY row
-    # an exact Kt-window sum, so the full segment sum is the ladder
-    #   sum_j acc[last - j*Kt]  for  last - j*Kt >= first
+    # of its last ``win`` rows. The Hillis-Steele scan doubles its stride
+    # while s < Kt, so the window every row holds exactly is the next power
+    # of two >= Kt (for non-pow2 Kt the scan overshoots; striding the ladder
+    # by Kt there would double-count rows). The full segment sum is the
+    # ladder
+    #   sum_j acc[last - j*win]  for  last - j*win >= first
     # (windows abut exactly; the lowest is clipped to the segment by the
-    # scan's own key masking). M2 x ceil(len/Kt) rows -- a tiny gather.
+    # scan's own key masking). M2 x ceil(len/win) rows -- a tiny gather.
     if giant_ids is not None and giant_ids.shape[0] > 0 and giant_seg_len > 0:
         m2 = giant_ids.shape[0]
         valid_g = giant_ids < bf
         safe_g = jnp.where(valid_g, giant_ids, 0)
         first = jnp.searchsorted(sbf, safe_g, side="left").astype(jnp.int32)
         last = jnp.searchsorted(sbf, safe_g, side="right").astype(jnp.int32) - 1
-        win = max_tiles_per_face
+        win = 1 << max(0, (max_tiles_per_face - 1).bit_length())
         nlad = -(-giant_seg_len // win)
         pos = last[:, None] - win * jnp.arange(nlad, dtype=jnp.int32)[None, :]
         ok = (pos >= first[:, None]) & valid_g[:, None]

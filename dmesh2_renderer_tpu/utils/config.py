@@ -84,11 +84,26 @@ class RasterConfig:
     use_pallas: bool = True
     # Run Pallas kernels in interpreter mode (CPU testing).
     interpret: bool = False
-    # Gradient-reduction segmented-scan depth for the face->shared-vertex
-    # stage: vertices with more incident faces than this get a truncated
-    # gradient sum. Real meshes sit at valence ~6; 256 leaves a wide margin
-    # while keeping the scan at 8 passes instead of log2(3F).
+    # Gradient-reduction segmented-scan depth for EVERY face->shared-vertex
+    # reduction (both the kernel-grad scatter, ops/pallas_bwd, and the
+    # screen-space AA chain, geometry.face_aa_verts_ccw): vertices with more
+    # incident faces than this get a truncated gradient sum. Real meshes sit
+    # at valence ~6; 256 leaves a wide margin while keeping the scan at 8
+    # passes instead of log2(3F). The eager APIs validate the true max
+    # valence against this cap (utils.validate.check_vertex_valence) and
+    # raise instead of truncating.
     max_vertex_valence: int = 256
+    # Backward-pass residual compaction: before the gradient kernel + the
+    # entry-grad reduction, the sorted entry stream is compacted to each
+    # tile's CONTRIBUTING prefix (ranks below the forward pass's per-tile
+    # n_contrib; later entries have exactly-zero gradients) -- shrinking
+    # every R-sized backward sort/scan several-fold at heavy overdraw. This
+    # sets the compacted stream's static capacity. None disables compaction
+    # (backward runs on the full binning stream). If the contributing count
+    # ever exceeds this, trailing tiles lose their gradients and a loud
+    # jax.debug.print fires each step; size it from the profiler's reported
+    # contributing count (benchmarks/profile_stages.py) with headroom.
+    grad_compact_capacity: int | None = None
     # Renderer.forward checks the overflow counter after each call and warns
     # when binning truncated instances (missing geometry). Costs one scalar
     # device->host readback per call; set False in throughput-critical loops

@@ -89,7 +89,8 @@ def profile_render(
         verts_ndc, verts_image = G.compute_verts_ndc_image(
             verts, mv, proj, width, height
         )
-        aa_verts = G.face_aa_verts_ccw(verts_image, faces)
+        aa_verts = G.face_aa_verts_ccw(verts_image, faces,
+                                       cfg.max_vertex_valence)
         depth01, _, _, alive = ref_ops.face_depth01(verts_ndc, faces)
         return verts_ndc, aa_verts, depth01, alive
 
@@ -124,6 +125,38 @@ def profile_render(
     color, depth, final_t, prev_t, _, nc_tile = fwd_out
     say("composite_forward", t_fwd)
 
+    # Contributing-entry count: what grad_compact_capacity must cover (plus
+    # headroom) for lossless backward compaction.
+    n_contributing = int(jnp.sum(
+        jnp.minimum(binning.tile_counts, jnp.maximum(nc_tile, 0))))
+    say("contributing entries", float(n_contributing))
+
+    entry_bf = binning.entry_bf
+    starts, counts = binning.tile_starts, binning.tile_counts
+    t_compact = 0.0
+    if cfg.grad_compact_capacity:
+        from dmesh2_renderer_tpu.ops.binning import (
+            build_face_table,
+            compact_tile_entries,
+            gather_stream,
+        )
+
+        table = jax.jit(build_face_table, static_argnames=("interpret",))(
+            verts, faces, verts_color, faces_opacity, verts_ndc,
+            faces_intense, aa_verts, interpret=cfg.interpret)
+
+        def compact_and_gather(e, st, ct, nc):
+            e2, st2, ct2, _ = compact_tile_entries(
+                e, st, ct, nc, cfg.grad_compact_capacity,
+                b * faces.shape[0])
+            return gather_stream(table, e2), e2, st2, ct2
+
+        (stream, entry_bf, starts, counts), t_compact = time_jitted(
+            compact_and_gather, entry_bf, starts, counts, nc_tile,
+            iters=iters)
+        nc_tile = counts
+        say("compact+regather", t_compact)
+
     g_color = jnp.ones_like(color)
     g_depth = jnp.ones_like(depth)
     grad_records, t_bwd = time_jitted(
@@ -132,15 +165,27 @@ def profile_render(
             final_t, prev_t, g_color, g_depth, jnp.zeros_like(g_depth),
             width, height, tau, chunk=cfg.face_chunk,
             interpret=cfg.interpret),
-        stream, binning.tile_starts, binning.tile_counts, nc_tile,
+        stream, starts, counts, nc_tile,
         iters=iters)
     say("composite_backward", t_bwd)
 
+    # Match the production backward exactly (ops/rasterize.py:162-172):
+    # giant tier + valence cap included, so the profiled stage is the same
+    # computation the e2e path runs.
+    from dmesh2_renderer_tpu.utils.config import TILE_X, TILE_Y
+
+    gx = -(-width // TILE_X)
+    gy = -(-height // TILE_Y)
+    kt2 = (gx * gy if cfg.giant_tiles is None
+           else min(cfg.giant_tiles, gx * gy))
     _, t_scatter = time_jitted(
-        lambda gr, e: scatter_entry_grads(
+        lambda gr, e, gid: scatter_entry_grads(
             gr, e, faces, verts.shape[0], b,
-            max_tiles_per_face=cfg.max_tiles_per_face),
-        grad_records, binning.entry_bf, iters=iters)
+            max_tiles_per_face=cfg.max_tiles_per_face,
+            max_vertex_valence=cfg.max_vertex_valence,
+            giant_ids=gid if cfg.num_giant_faces > 0 else None,
+            giant_seg_len=cfg.max_tiles_per_face + kt2),
+        grad_records, entry_bf, binning.giant_ids, iters=iters)
     say("scatter_entry_grads", t_scatter)
 
     def loss_fn(verts, verts_color, faces_opacity, faces_intense):
@@ -162,6 +207,8 @@ def profile_render(
         "prep": t_prep, "binning": t_bin, "pack": t_pack,
         "fwd_kernel": t_fwd, "bwd_kernel": t_bwd, "scatter": t_scatter,
     }
+    if cfg.grad_compact_capacity:
+        stages["compact"] = t_compact
     accounted = sum(stages.values())
     return {
         "stages_ms": {k: round(v, 2) for k, v in stages.items()},
@@ -170,4 +217,5 @@ def profile_render(
         "unattributed_ms": round(t_e2e - accounted, 2),
         "num_rendered": int(binning.num_rendered),
         "num_truncated": int(binning.num_truncated),
+        "num_contributing": n_contributing,
     }

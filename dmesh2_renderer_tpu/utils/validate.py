@@ -8,9 +8,44 @@ tracing, so users get a clear message instead of an XLA shape error.
 
 from __future__ import annotations
 
+import numpy as np
+
 
 def _shape(x):
     return tuple(getattr(x, "shape", ()))
+
+
+def check_vertex_valence(faces, max_vertex_valence: int) -> bool:
+    """Fail loudly when a vertex's valence exceeds the gradient-scan cap.
+
+    Every face->shared-vertex gradient reduction in this codebase is a
+    segmented scan of depth ``RasterConfig.max_vertex_valence`` (see
+    ops/pallas_bwd.scatter_entry_grads and geometry.face_aa_verts_ccw); a
+    vertex with more incident faces would get a silently TRUNCATED gradient
+    sum -- the one contract the reference's atomicAdd aggregation
+    (backward.cu:495-529) never breaks. ``faces`` is concrete at trace time
+    in the eager APIs, so the true max valence is checkable there.
+
+    Returns True when the check ran (``faces`` concrete), False when
+    ``faces`` is a tracer (inside jit -- callers validate beforehand).
+    Raises ValueError on violation.
+    """
+    try:
+        f = np.asarray(faces)
+    except Exception:  # jax tracer: cannot concretize inside jit
+        return False
+    if f.size == 0:
+        return True
+    val = int(np.bincount(f.ravel()).max())
+    if val > max_vertex_valence:
+        raise ValueError(
+            f"mesh has a vertex shared by {val} faces, above "
+            f"RasterConfig.max_vertex_valence={max_vertex_valence}: its "
+            "gradient would be silently truncated. Set "
+            f"RasterConfig(max_vertex_valence={1 << (val - 1).bit_length()}) "
+            "(the scan cost is logarithmic in the cap)."
+        )
+    return True
 
 
 def check_render_args(verts, faces, verts_color, faces_opacity, faces_intense,

@@ -5,6 +5,7 @@ Covers the reference behaviors of patch windows (``__init__.py:264-302``,
 (``render.cu:62-118``).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -97,3 +98,63 @@ def test_overflow_reported_and_finite():
     assert any(issubclass(w.category, RuntimeWarning)
                and "truncated" in str(w.message) for w in caught)
     assert bool(jnp.isfinite(c).all()) and bool(jnp.isfinite(d).all())
+
+
+def test_vertex_valence_guard():
+    """A pole vertex with valence beyond the scan cap must fail LOUDLY (the
+    segmented gradient scans would silently truncate its gradient sum), and
+    render with exact gradients once the cap is raised (VERDICT contract:
+    atomicAdd never truncates, backward.cu:495-529)."""
+    import pytest
+
+    from dmesh2_renderer_tpu.functional import render as frender
+    from dmesh2_renderer_tpu.utils.validate import check_vertex_valence
+
+    # Cone fan: vertex 0 (apex) shared by 12 faces (valence 12 > cap 8);
+    # rim in the y-z plane, apex toward camera 0 at (+3r, ..) so the fan
+    # faces the camera.
+    n = 12
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    rim = np.stack([np.zeros(n), np.cos(ang) * 0.5,
+                    np.sin(ang) * 0.5], axis=1).astype(np.float32)
+    verts = np.concatenate(
+        [np.asarray([[0.5, 0.0, 0.0]], np.float32), rim], axis=0)
+    faces = np.asarray(
+        [[0, 1 + i, 1 + (i + 1) % n] for i in range(n)], np.int32)
+
+    with pytest.raises(ValueError, match="max_vertex_valence"):
+        check_vertex_valence(faces, 8)
+    assert check_vertex_valence(faces, 16)
+
+    mv, proj = orbit_cameras(1)
+    cfg_low = RasterConfig(binning_capacity=4096, max_vertex_valence=8,
+                           interpret=True)
+    with pytest.raises(ValueError, match="max_vertex_valence"):
+        frender(jnp.asarray(verts), jnp.asarray(faces),
+                jnp.abs(jnp.asarray(verts)) % 1.0,
+                jnp.full((n,), 0.7, jnp.float32),
+                jnp.ones((1, n), jnp.float32), jnp.asarray(mv),
+                jnp.asarray(proj), jnp.zeros((3,), jnp.float32),
+                64, 64, 1.0, cfg_low)
+
+    # With a sufficient cap, pole-vertex gradients agree with jax.grad of
+    # the pure-XLA reference compositor.
+    cfg_lo = RasterConfig(binning_capacity=4096, max_vertex_valence=16,
+                          interpret=True)
+    cfg_hi = RasterConfig(binning_capacity=4096, max_vertex_valence=64,
+                          interpret=True)
+
+    def loss(v, cfg):
+        c, d, _ = frender(v, jnp.asarray(faces),
+                          jnp.abs(jnp.asarray(verts)) % 1.0,
+                          jnp.full((n,), 0.7, jnp.float32),
+                          jnp.ones((1, n), jnp.float32), jnp.asarray(mv),
+                          jnp.asarray(proj), jnp.zeros((3,), jnp.float32),
+                          64, 64, 1.0, cfg)
+        return jnp.sum(c) + jnp.sum(d)
+
+    g16 = jax.grad(lambda v: loss(v, cfg_lo))(jnp.asarray(verts))
+    g64 = jax.grad(lambda v: loss(v, cfg_hi))(jnp.asarray(verts))
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g64),
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(np.asarray(g16)[0]).max() > 0.0  # pole actually has grads

@@ -126,10 +126,18 @@ def test_giant_face_fully_binned():
             assert got == expected, (ty, tx, got, expected)
 
 
-def test_giant_face_render_and_grads_match_reference():
+import pytest
+
+
+@pytest.mark.parametrize("kt", [4, 3])
+def test_giant_face_render_and_grads_match_reference(kt):
     """End-to-end: a frame-spanning triangle renders and differentiates
     identically to the pure-XLA reference compositor (which has no tile
-    capacity limits), exercising the giant gradient-reduction correction."""
+    capacity limits), exercising the giant gradient-reduction correction.
+
+    kt=3 exercises the NON-power-of-two tile cap: the segmented scan's
+    window is next_pow2(Kt), and the giant-ladder must stride by that
+    window, not Kt (striding by a non-pow2 Kt double-counts rows)."""
     import jax
 
     from dmesh2_renderer_tpu.functional import render
@@ -156,7 +164,7 @@ def test_giant_face_render_and_grads_match_reference():
     op = np.asarray([0.6, 0.8], np.float32)
     it_ = np.ones((1, 2), np.float32)
     bg = np.asarray([0.1, 0.2, 0.3], np.float32)
-    cfg = RasterConfig(binning_capacity=512, max_tiles_per_face=4,
+    cfg = RasterConfig(binning_capacity=512, max_tiles_per_face=kt,
                        num_giant_faces=2, interpret=True)
 
     def loss_pallas(v, c, o):
@@ -203,3 +211,26 @@ def test_binning_overflow_reported():
     small = bin_faces(aa_verts[:1], depth01[:1], alive[:1], pm, width, height,
                       capacity=16, max_tiles_per_face=2)
     assert int(small.num_truncated) > 0
+
+
+def test_giant_tier_prefers_most_oversized():
+    """When oversized faces outnumber the giant slots, the MOST-oversized
+    faces win them (a camera-filling triangle must never lose its slot to a
+    face that barely exceeds Kt; ties broken by ascending entry id)."""
+    width = height = 128  # 8x8 tile grid
+    # Face 0: barely oversized (~2x3 tiles). Face 1: frame-filling.
+    # Face 2: mid-sized (~4x4 tiles).
+    aa = jnp.asarray(
+        [[[[2.0, 2.0], [44.0, 4.0], [20.0, 40.0]],
+          [[-50.0, -50.0], [300.0, -40.0], [60.0, 300.0]],
+          [[60.0, 60.0], [120.0, 62.0], [90.0, 120.0]]]], jnp.float32)
+    depth01 = jnp.asarray([[0.5, 0.25, 0.75]], jnp.float32)
+    alive = jnp.ones((1, 3), bool)
+    pm = jnp.zeros((1, 2), jnp.int32)
+
+    full = bin_faces(aa, depth01, alive, pm, width, height,
+                     capacity=512, max_tiles_per_face=4, num_giant_faces=2)
+    ids = sorted(int(i) for i in full.giant_ids)
+    assert ids == [1, 2], ids  # faces 1 and 2, NOT (0, 1) by id order
+    # Face 0 loses its tier slot; its overflow must be reported.
+    assert int(full.num_truncated) > 0
