@@ -18,12 +18,28 @@ L-slot ordering by a branch-free insertion cascade. No adjacency chasing, no
 serial per-face walk; ``tets/face_tets/tet_faces`` remain in the API for
 signature parity (``__init__.py:404-416``).
 
-Known deviations (documented): rays that the reference aborts mid-walk on
-numerical inconsistencies (forward.cu:892-896, 917-981 ``done`` guards) or
-that start in a boundary configuration with no incident tet are peeled
-robustly here; layer sets can differ on such degenerate rays only. Two
-*distinct* faces hit at bit-identical t collapse to one layer (measure-zero;
-the same face never appears twice in one tile list).
+Known deviations (documented, tested): the reference walk's output is
+always a LEADING PREFIX of this peel's output -- both record existing-face
+hits in ascending ray parameter; the walk just stops early in three cases
+where the peel keeps going:
+
+  1. **Grid boundary** (forward.cu:983-989): when the ray exits the tet
+     grid, the walk records the exit face and halts. On a CONVEX grid the
+     prefix is the whole sequence (every hit lies between entry and exit),
+     so walk == peel. On a NON-CONVEX or partial grid (deleted tets, kept
+     faces) a ray can exit and RE-ENTER; the walk misses every hit after
+     the first exit while the peel records them. This is the one real
+     semantic divergence; ``tests/test_peel.py::
+     test_peel_vs_tet_walk_nonconvex_divergence_is_prefix_only`` proves it
+     is confined to prefix truncation against a numpy port of the walk
+     (``tests/_tet_walk_oracle.py``).
+  2. **Numeric guards** (forward.cu:892-896, 917-922, 977-981): degenerate
+     rays the walk aborts mid-traversal are peeled robustly here.
+  3. **No incident start tet** (forward.cu:684-708 finds none): the walk
+     records at most the first face; the peel is unaffected.
+
+Additionally, two *distinct* faces hit at bit-identical t collapse to one
+layer (measure-zero; the same face never appears twice in one tile list).
 """
 
 from __future__ import annotations

@@ -31,6 +31,7 @@ from dmesh2_renderer_tpu.ops import reference as ref_ops
 from dmesh2_renderer_tpu.ops.binning import (
     bin_faces,
     build_face_table_from_corners,
+    compact_tile_entries,
     gather_face_corners,
     gather_stream,
 )
@@ -82,7 +83,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             interpret=config.interpret,
         )
         stream = gather_stream(table, binning.entry_bf)
-        return binning, stream
+        return binning, stream, table
 
     def rasterize_fwd_impl(verts, verts_color, faces_opacity, verts_ndc,
                            faces_intense, aa_face_verts, faces, background,
@@ -95,7 +96,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             )
             zero = jnp.zeros((), jnp.int32)
             return (color, depth, ref_aux.final_t, RasterAux(zero, zero)), None
-        binning, stream = _pipeline(
+        binning, stream, table = _pipeline(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, patch_min,
         )
@@ -105,7 +106,11 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             chunk=config.face_chunk, interpret=config.interpret,
         )
         aux = RasterAux(binning.num_rendered, binning.num_truncated)
-        residuals = (stream, binning.entry_bf, binning.tile_starts,
+        # With compaction on, backward re-gathers its own (smaller) stream
+        # from the face table, so the R-sized forward stream is NOT a
+        # residual and XLA frees it after the forward kernel.
+        big = table if config.grad_compact_capacity else stream
+        residuals = (big, binning.entry_bf, binning.tile_starts,
                      binning.tile_counts, binning.giant_ids, nc_tile,
                      color, depth, final_t, prev_t)
         return (color, depth, final_t, aux), residuals
@@ -151,8 +156,31 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             d6 = vjp((g_color, g_depth, g_final_t))
             return (*d6, None, None, None, None, None)
 
-        (stream, entry_bf, starts, counts, giant_ids, nc_tile,
+        (big, entry_bf, starts, counts, giant_ids, nc_tile,
          color, depth, final_t, prev_t) = residuals
+        if config.grad_compact_capacity:
+            # Residual compaction: keep each tile's contributing prefix only
+            # (compact_tile_entries docstring); every backward stage below
+            # then runs at the compacted size.
+            entry_bf, starts, counts, overflow = compact_tile_entries(
+                entry_bf, starts, counts, nc_tile,
+                config.grad_compact_capacity,
+                verts_ndc.shape[0] * faces.shape[0],
+            )
+            nc_tile = counts  # all remaining entries contribute
+            jax.lax.cond(
+                overflow > 0,
+                lambda o: jax.debug.print(
+                    "dmesh2_renderer_tpu: grad compaction overflow -- {n} "
+                    "contributing entries dropped (trailing tiles lost their "
+                    "gradients); raise RasterConfig.grad_compact_capacity.",
+                    n=o),
+                lambda o: None,
+                overflow,
+            )
+            stream = gather_stream(big, entry_bf)
+        else:
+            stream = big
         grad_records = composite_backward(
             stream, starts, counts, nc_tile, ray_o_cam, ray_d, background,
             patch_min, color, depth, final_t, prev_t, g_color, g_depth,

@@ -56,16 +56,20 @@ def _depth_slab_order(verts, faces, mv, proj, width, height):
     return jnp.argsort(key, axis=-1, stable=True).astype(jnp.int32)
 
 
-def _render_slab(params: SceneParams, faces, faces_intense, mv, proj,
+def _render_slab(params: SceneParams, faces, faces_intense, mv, proj, order,
                  width, height, aa_temperature, config, n, axis):
     """Per-chip body: render this chip's depth slab of every view with a
     zero background, returning background-free partials
-    (Cn (B,H,W,3), Dn (B,H,W), T (B,H,W), counters)."""
+    (Cn (B,H,W,3), Dn (B,H,W), T (B,H,W), counters).
+
+    Slabs differ per view, so views render as a ``lax.scan`` over the view
+    axis: the pipeline traces and compiles ONCE regardless of B (a Python
+    loop here unrolled B copies of the whole rasterizer -- a compile-time
+    wall at the 64-view benchmark scale)."""
     k = jax.lax.axis_index(axis)
     b, f = faces_intense.shape
     fsub = -(-f // n)
 
-    order = _depth_slab_order(params.verts, faces, mv, proj, width, height)
     # Pad ranks up to n*fsub with a dummy degenerate face (id F, opacity 0).
     pad = jnp.full((b, n * fsub - f), f, jnp.int32)
     order = jnp.concatenate([order, pad], axis=1)
@@ -76,44 +80,55 @@ def _render_slab(params: SceneParams, faces, faces_intense, mv, proj,
     fi_pad = jnp.concatenate(
         [faces_intense, jnp.zeros((b, 1), faces_intense.dtype)], axis=1
     )
+    slab_ids = jax.lax.dynamic_slice(order, (0, k * fsub), (b, fsub))
 
     bg0 = jnp.zeros((3,), params.verts.dtype)
-    outs = []
-    for bi in range(b):  # slabs differ per view: render views separately
-        ids = jax.lax.dynamic_slice(order[bi], (k * fsub,), (fsub,))
+
+    def body(carry, per_view):
+        ids, mv1, proj1, fi_row = per_view
         color, depth_raw, final_t, aux = render_partial(
             params.verts, faces_pad[ids], params.verts_color, fo_pad[ids],
-            fi_pad[bi:bi + 1, ids], mv[bi:bi + 1], proj[bi:bi + 1], bg0,
+            fi_row[ids][None, :], mv1[None], proj1[None], bg0,
             width, height, aa_temperature, config,
         )
-        outs.append((color[0], depth_raw[0] - final_t[0], final_t[0], aux))
-    cn = jnp.stack([o[0] for o in outs])
-    dn = jnp.stack([o[1] for o in outs])
-    t = jnp.stack([o[2] for o in outs])
-    num_rendered = sum(o[3].num_rendered for o in outs)
-    num_truncated = sum(o[3].num_truncated for o in outs)
+        nr, nt = carry
+        out = (color[0], depth_raw[0] - final_t[0], final_t[0])
+        return (nr + aux.num_rendered, nt + aux.num_truncated), out
+
+    zero = jnp.zeros((), jnp.int32)
+    (num_rendered, num_truncated), (cn, dn, t) = jax.lax.scan(
+        body, (zero, zero), (slab_ids, mv, proj, fi_pad)
+    )
     return cn, dn, t, num_rendered, num_truncated
 
 
 def _make_partials_fn(mesh, width, height, aa_temperature, config, axis):
     """shard_map'ed per-slab renderer: replicated inputs -> partials
     SHARDED on a leading slab axis (combine stays global jnp, so AD is
-    correct by construction)."""
+    correct by construction). The depth-slab order is computed OUTSIDE
+    shard_map -- one global projection+argsort instead of one per chip."""
     n = mesh.shape[axis]
 
-    def shard_fn(params, faces, fi, mv, proj):
+    def shard_fn(params, faces, fi, mv, proj, order):
         cn, dn, t, nr, nt = _render_slab(
-            params, faces, fi, mv, proj, width, height, aa_temperature,
-            config, n, axis,
+            params, faces, fi, mv, proj, order, width, height,
+            aa_temperature, config, n, axis,
         )
         return (cn[None], dn[None], t[None], nr[None], nt[None])
 
-    return shard_map(
+    sharded = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,
     )
+
+    def fn(params, faces, fi, mv, proj):
+        order = _depth_slab_order(params.verts, faces, mv, proj, width,
+                                  height)
+        return sharded(params, faces, fi, mv, proj, order)
+
+    return fn
 
 
 def _composite_slabs(all_c, all_d, all_t):

@@ -31,7 +31,7 @@ from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden_icosphere.npz")
 
 
-@pytest.mark.parametrize("tau", [0.0, 1.0])
+@pytest.mark.parametrize("tau", [pytest.param(0.0, marks=pytest.mark.slow), 1.0])
 def test_matches_golden(tau):
     verts, faces = icosphere(1)
     mv, proj = orbit_cameras(2)

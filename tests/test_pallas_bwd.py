@@ -46,7 +46,11 @@ def _scene(width=32, height=32, b=2, seed=0):
     return verts, faces, vc, fo, verts_ndc, fi, tris, bg, pm, ray_o, ray_d, gc, gd
 
 
-@pytest.mark.parametrize("tau", [1.0, 0.0, 0.5])
+@pytest.mark.parametrize(
+    "tau",
+    [1.0, pytest.param(0.0, marks=pytest.mark.slow),
+     pytest.param(0.5, marks=pytest.mark.slow)],
+)
 def test_backward_matches_autodiff(tau):
     width = height = 32
     (verts, faces, vc, fo, verts_ndc, fi, tris, bg, pm, ray_o, ray_d, gc, gd) = _scene()
@@ -96,3 +100,50 @@ def test_backward_matches_autodiff(tau):
     # the (B,P,3) ndc grad is z-only in the kernel path; x/y flow through
     # aa_face_verts instead (verts_image is not an input here)
     np.testing.assert_allclose(g_ndc[..., :2], 0.0, atol=1e-7)
+
+
+def test_grad_compaction_matches_uncompacted():
+    """Backward residual compaction (RasterConfig.grad_compact_capacity) must
+    leave every gradient equivalent: compaction only drops entries whose
+    records the kernel's saturation mask already zeroes (the entry-level
+    n_contrib skip, backward.cu:219-221). Row positions inside the segmented
+    gradient scans shift, so sums reassociate -- equality is to f32
+    accumulation-order noise (~1e-5 relative), not bitwise. High opacities
+    force early saturation so the compacted stream is genuinely smaller."""
+    from dmesh2_renderer_tpu.functional import render
+    from dmesh2_renderer_tpu.utils.config import RasterConfig
+    from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
+
+    verts_np, faces_np = icosphere(1)
+    rng = np.random.default_rng(7)
+    verts_np = verts_np + rng.normal(scale=1e-3, size=verts_np.shape).astype(np.float32)
+    f = faces_np.shape[0]
+    mv, proj = orbit_cameras(1)
+    args = (
+        jnp.asarray(verts_np), jnp.asarray(faces_np),
+        jnp.asarray(rng.uniform(size=(verts_np.shape[0], 3)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.85, 0.99, size=(f,)).astype(np.float32)),
+        jnp.ones((1, f), jnp.float32), jnp.asarray(mv), jnp.asarray(proj),
+        jnp.asarray([0.1, 0.2, 0.3], jnp.float32),
+    )
+
+    def loss(v, c, o, cfg):
+        col, dep, _ = render(v, args[1], c, o, args[4], args[5], args[6],
+                             args[7], 48, 48, 1.0, cfg)
+        return jnp.sum(col * jnp.cos(col)) + jnp.sum(dep * 0.3)
+
+    cfg_off = RasterConfig(binning_capacity=2048, interpret=True)
+    cfg_on = RasterConfig(binning_capacity=2048, interpret=True,
+                          grad_compact_capacity=512)
+    g_off = jax.grad(loss, argnums=(0, 1, 2))(args[0], args[2], args[3], cfg_off)
+    g_on = jax.grad(loss, argnums=(0, 1, 2))(args[0], args[2], args[3], cfg_on)
+    for a, b_ in zip(g_off, g_on):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-5, atol=1e-6)
+
+    # Overflow path: a tiny compact capacity truncates but must stay finite
+    # (and fire the debug warning, not crash).
+    cfg_tiny = RasterConfig(binning_capacity=2048, interpret=True,
+                            grad_compact_capacity=128)
+    g_tiny = jax.grad(loss, argnums=(0,))(args[0], args[2], args[3], cfg_tiny)
+    assert np.isfinite(np.asarray(g_tiny[0])).all()

@@ -31,7 +31,10 @@ def _scene(width=48, height=48, b=2, seed=0):
     return verts, faces, vc, fo, verts_ndc, fi, tris, bg, pm, ray_o, ray_d
 
 
-@pytest.mark.parametrize("tau", [1.0, 0.0, 0.5])
+@pytest.mark.parametrize(
+    "tau",
+    [pytest.param(1.0, marks=pytest.mark.slow), 0.0, 0.5],
+)
 def test_pallas_forward_matches_reference(tau):
     width = height = 48
     verts, faces, vc, fo, verts_ndc, fi, tris, bg, pm, ray_o, ray_d = _scene()

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 from dmesh2_renderer_tpu.functional import render
@@ -28,7 +29,7 @@ def _scene(b):
 
 
 def test_sharded_render_matches_single_device():
-    b, hw = 8, 32
+    b, hw = 8, 16  # fast-set size; the slow-marked grads test runs 32x32
     verts, faces, vc, op, it, mv, proj, bg = _scene(b)
     mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
     c_sh, d_sh = render_views_sharded(
@@ -39,6 +40,7 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_single_device_grad():
     """The psum/pmean path must reproduce unsharded jax.grad of the SAME
     mean loss (pins the pmean scaling: a mean-vs-sum mistake fails at 1e-6).
@@ -84,6 +86,7 @@ def test_sharded_grads_match_single_device_grad():
         )
 
 
+@pytest.mark.slow
 def test_sharded_train_step_decreases_loss():
     import optax
 

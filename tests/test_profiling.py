@@ -2,12 +2,14 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dmesh2_renderer_tpu.utils.config import RasterConfig
 from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
 from dmesh2_renderer_tpu.utils.profiling import profile_render
 
 
+@pytest.mark.slow
 def test_profile_render_reports_all_stages():
     verts_np, faces_np = icosphere(1)
     verts = jnp.asarray(verts_np)

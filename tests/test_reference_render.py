@@ -7,6 +7,7 @@ These pin the blending semantics of the CUDA reference kernel
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dmesh2_renderer_tpu import geometry as G
 from dmesh2_renderer_tpu.ops.reference import render_reference
@@ -133,6 +134,7 @@ def test_patch_matches_full_frame():
     )
 
 
+@pytest.mark.slow
 def test_grad_flows_and_finite():
     verts, faces = icosphere(1)
     rng = np.random.default_rng(2)
