@@ -55,11 +55,15 @@ def build_step(width, height, n_faces, capacity, tau):
         max_tiles_per_face=16,
         num_giant_faces=8192,
         giant_tiles=32,
-        # Backward residual compaction: the profiler reports ~1M contributing
-        # entries for this scene (opacity 0.5 saturates T after ~26 faces);
-        # 2^21 = 2.1M gives ~2x headroom. Overflow fires a loud
-        # jax.debug.print (see RasterConfig docstring).
+        # Backward residual compaction: the profiler reports 1.42M
+        # contributing entries for this scene (opacity 0.5 saturates T after
+        # ~26 faces); 2^21 = 2.1M gives ~1.5x headroom. Overflow is reported
+        # via RasterAux.num_grad_contributing (see RasterConfig docstring).
         grad_compact_capacity=1 << 21,
+        # Exact SAT tile cull: drops the bbox-rect slots the thin soup
+        # triangles never touch (identical image; every R-sized stage
+        # shrinks).
+        exact_tile_cull=True,
         interpret=jax.default_backend() == "cpu",
     )
 
@@ -101,9 +105,10 @@ def _emit_stage_table(budget_left_s: float):
         f = faces.shape[0]
         verts = jnp.asarray(verts_np)
         cfg = RasterConfig(
-            binning_capacity=40 * (1 << 17), max_tiles_per_face=16,
+            binning_capacity=32 * (1 << 17), max_tiles_per_face=16,
             num_giant_faces=8192, giant_tiles=32,
             grad_compact_capacity=1 << 21,
+            exact_tile_cull=True,
         )
         report = profile_render(
             verts, faces, jnp.abs(verts) % 1.0,
@@ -132,12 +137,14 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        # ~5.02M entries are actually binned for this scene (the profiler
-        # prints the exact count); 5.25M capacity keeps ~220k headroom while
-        # trimming every R-proportional pipeline stage. The reference sizes
+        # With the exact SAT tile cull, 3,960,091 entries are actually
+        # binned for this scene (profiler's num_binned; 5.04M bbox-rect
+        # slots before the cull). 4.19M capacity keeps ~230k headroom while
+        # trimming every R-proportional pipeline stage (pack, kernels'
+        # block grid, the 30-operand gradient sort). The reference sizes
         # this buffer exactly, after a device->host readback of the count
         # (renderer.cu:174-183).
-        width, height, n_faces, capacity = 1920, 1080, 1_000_000, 40 * (1 << 17)
+        width, height, n_faces, capacity = 1920, 1080, 1_000_000, 32 * (1 << 17)
     else:  # CPU smoke-scale so the bench always emits a line
         width, height, n_faces, capacity = 256, 256, 1280, 1 << 14
 

@@ -155,6 +155,18 @@ class Renderer:
                     RuntimeWarning,
                     stacklevel=2,
                 )
+            cap2 = self.config.grad_compact_capacity
+            if cap2 and int(aux.num_grad_contributing) > cap2:
+                import warnings
+
+                warnings.warn(
+                    f"{int(aux.num_grad_contributing)} entries contribute "
+                    f"gradients but grad_compact_capacity={cap2}: backward "
+                    "drops the excess (wrong gradients for some tiles). "
+                    "Raise RasterConfig.grad_compact_capacity.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return color, depth
 
     __call__ = forward

@@ -137,6 +137,45 @@ def _ceil_log2(n: int) -> int:
     return max(1, (n - 1).bit_length())
 
 
+def _tri_tile_overlaps(aa_flat, patch_min_flat, tile_x, tile_y):
+    """Exact triangle-vs-tile-box overlap test for emitted (entry, slot)s.
+
+    The rect emission (face_tile_rects, mirroring ``getPatchRectFromTri``,
+    auxiliary.h:72-92) bins a face into every tile its BBOX touches; a thin
+    diagonal triangle touches only ~half of those. This SAT test keeps a
+    slot only when the triangle actually intersects the 16x16 tile box: a
+    convex polygon misses an AABB iff the box lies entirely outside one
+    edge half-plane, i.e. the box corner MAXIMIZING the (orientation-
+    corrected) edge function is still negative. Conservative on boundaries
+    (>= 0 keeps) and orientation-safe (edge functions are scaled by the
+    triangle's winding sign). Costs ~25 elementwise ops per slot on data
+    already in registers -- repaid many times over by every downstream
+    R-sized stage (sort, pack, kernels, gradient reduction).
+
+    Args: aa_flat (BF, 3, 2) screen triangles, patch_min_flat (BF, 2),
+    tile_x/tile_y (BF, K) tile indices. Returns (BF, K) bool.
+    """
+    ax = [aa_flat[:, k, 0:1] for k in range(3)]
+    ay = [aa_flat[:, k, 1:2] for k in range(3)]
+    # winding sign: cross(v1 - v0, v2 - v0)
+    sgn = jnp.sign(
+        (ax[1] - ax[0]) * (ay[2] - ay[0]) - (ay[1] - ay[0]) * (ax[2] - ax[0])
+    )
+    x0 = tile_x.astype(aa_flat.dtype) * TILE_X + patch_min_flat[:, 0:1]
+    y0 = tile_y.astype(aa_flat.dtype) * TILE_Y + patch_min_flat[:, 1:2]
+    ok = None
+    for e in range(3):
+        j = (e + 1) % 3
+        ex = sgn * (ax[j] - ax[e])          # scaled edge vector (BF, 1)
+        ey = sgn * (ay[j] - ay[e])
+        # corner of the box maximizing ex*(cy - ay) - ey*(cx - ax)
+        cy = y0 + jnp.where(ex > 0, float(TILE_Y), 0.0)
+        cx = x0 + jnp.where(ey > 0, 0.0, float(TILE_X))
+        smax = ex * (cy - ay[e]) - ey * (cx - ax[e])
+        ok = smax >= 0.0 if ok is None else ok & (smax >= 0.0)
+    return ok
+
+
 def bin_faces(
     aa_face_verts,   # (B, F, 3, 2) screen-space triangles
     depth01,         # (B, F) sort depth in [0, 1]
@@ -148,6 +187,7 @@ def bin_faces(
     max_tiles_per_face: int,
     num_giant_faces: int = 0,
     giant_tiles: int | None = None,
+    exact_tile_cull: bool = False,
 ) -> Binning:
     """Static-capacity tile binning (module docstring has the design).
 
@@ -159,6 +199,13 @@ def bin_faces(
     touches, matching the reference's unbounded duplication
     (renderer.cu:415-465), without paying a (BF x tiles) dense grid.
     Anything beyond both tiers is truncated and reported.
+
+    ``exact_tile_cull`` additionally drops rect slots whose tile box the
+    triangle does not actually intersect (``_tri_tile_overlaps``): the
+    rendered output is identical (such entries never pass the kernels' AA /
+    inside tests), every R-sized downstream stage shrinks, and the culled
+    slots are NOT counted as truncation. ``num_rendered`` stays the
+    reference's rect-duplication count (renderer.cu:415-465) either way.
     """
     b, f = depth01.shape
     bf = b * f
@@ -171,7 +218,6 @@ def bin_faces(
     touched = jnp.where(alive, rw * rh, 0).reshape(bf)               # (BF,)
     emit = jnp.minimum(touched, kt)
     num_rendered = jnp.sum(touched)
-    num_emitted = jnp.sum(emit)
 
     # Emission grid (BF, Kt): k-th touched tile of each face, y-major order
     # matching duplicateWithKeys (renderer.cu:452-464).
@@ -184,6 +230,16 @@ def bin_faces(
     batch_of = (jnp.arange(bf, dtype=jnp.int32) // f)[:, None]
     tile_id = batch_of * (gx * gy) + tile_y * gx + tile_x             # (BF, Kt)
     valid = k < emit[:, None]
+    aa_flat = aa_face_verts.reshape(bf, 3, 2)
+    pm_flat = jnp.broadcast_to(
+        patch_min.astype(aa_face_verts.dtype)[:, None, :], (b, f, 2)
+    ).reshape(bf, 2)
+    num_culled = jnp.zeros((), jnp.int32)
+    if exact_tile_cull:
+        overlap1 = _tri_tile_overlaps(aa_flat, pm_flat, tile_x, tile_y)
+        num_culled = jnp.sum((valid & ~overlap1).astype(jnp.int32))
+        valid = valid & overlap1
+    num_emitted = jnp.sum(valid.astype(jnp.int32))
 
     # Packed int31 sort key: tile in the high bits, quantized depth below.
     # The reference packs (tile << 32 | float_bits(depth)) into 64 bits
@@ -251,21 +307,26 @@ def bin_faces(
             rx0_g[:, None] + dx2
         )
         valid2 = valid_g[:, None] & (k2 < touched_g[:, None])
+        if exact_tile_cull:
+            overlap2 = _tri_tile_overlaps(
+                aa_flat[safe_g], pm_flat[safe_g],
+                rx0_g[:, None] + dx2, ry0_g[:, None] + dy2,
+            )
+            num_culled = num_culled + jnp.sum(
+                (valid2 & ~overlap2).astype(jnp.int32))
+            valid2 = valid2 & overlap2
         keys_flat.append(jnp.where(
             valid2, (tile2 << bits_d) | dq_g[:, None], jnp.int32(0x7FFFFFFF)
         ).reshape(-1))
         payloads_flat.append(
             jnp.broadcast_to(safe_g[:, None], (m2, kt2)).reshape(-1)
         )
-        emitted_g = jnp.sum(jnp.where(
-            valid_g, jnp.clip(touched_g - kt, 0, kt2), 0
-        ))
-        num_emitted = num_emitted + emitted_g
+        num_emitted = num_emitted + jnp.sum(valid2.astype(jnp.int32))
         giant_ids = jnp.where(valid_g, giant_ids, bf)
     else:
         giant_ids = jnp.zeros((0,), jnp.int32)
 
-    num_truncated = num_rendered - num_emitted + jnp.maximum(
+    num_truncated = num_rendered - num_emitted - num_culled + jnp.maximum(
         num_emitted - capacity, 0
     )
 
@@ -294,54 +355,31 @@ def bin_faces(
                    giant_ids)
 
 
-def compact_tile_entries(
-    entry_bf,        # (R,) int32 sorted entries (sentinel = bf)
-    tile_starts,     # (T_total,) int32
-    tile_counts,     # (T_total,) int32
-    nc_tile,         # (T_total,) int32 per-tile max contributor rank (fwd)
-    capacity: int,   # static compacted capacity (rounded up to STREAM_BLOCK)
-    bf: int,         # sentinel value (B * F)
-):
-    """Keep only each tile's CONTRIBUTING prefix of entries.
+def contributing_mask(tile_starts, tile_counts, nc_tile, r: int):
+    """(R,) bool: stream positions inside some tile's CONTRIBUTING prefix.
 
     The forward kernel reports, per tile, the 1-based rank of the last face
-    that blended into any pixel (``nc_tile``); every later entry has zero
-    gradient (its transmittance is below T_EPS for every pixel, so the
-    backward kernel's ``ok`` mask zeroes its record). Because ranks within a
-    tile are list positions, the contributing set is a PREFIX -- so
-    compaction is a per-tile prefix gather, no sort needed: the entry-level
-    analogue of the reference's per-pixel ``n_contrib`` skip
-    (backward.cu:219-221). At opacity ~0.5 transmittance crosses T_EPS after
-    ~26 faces, shrinking the gradient-record stream (and every R-sized sort/
-    scan in scatter_entry_grads) several-fold.
+    that blended into any pixel (``nc_tile``); every later entry has an
+    exactly-zero gradient record (its transmittance is below T_EPS for every
+    pixel, so the backward kernel's ``ok`` mask zeroes it). Ranks are list
+    positions, so the contributing set is a per-tile PREFIX -- the
+    entry-level analogue of the reference's per-pixel ``n_contrib`` skip
+    (backward.cu:219-221). At opacity ~0.5, T crosses T_EPS after ~26
+    faces, so only ~1/4 of the 1080p headline's entries contribute.
 
-    Entries beyond ``capacity`` are dropped (trailing tiles lose gradients);
-    the returned ``overflow`` count lets callers warn loudly.
+    Built with two T-sized index-add scatters and one R-sized cumsum (+1 at
+    each tile start, -1 at its contributing cut): ~2 ms at R = 5.25M. (A
+    position->tile ``searchsorted`` map was measured at ~300 ms for the
+    same job -- see benchmarks/micro_compact.py.)
 
-    Returns (entry_bf2 (R2,), starts2, counts2, overflow ()) with
-    R2 = capacity rounded up to STREAM_BLOCK.
+    Also returns the total contributing count (for overflow reporting).
     """
-    t_total = tile_starts.shape[0]
-    cap2 = ((capacity + STREAM_BLOCK - 1) // STREAM_BLOCK) * STREAM_BLOCK
     counts2 = jnp.minimum(tile_counts, jnp.maximum(nc_tile, 0))
-    edges2 = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(counts2, dtype=jnp.int32),
-    ])
-    total2 = edges2[-1]
-    overflow = jnp.maximum(total2 - cap2, 0)
-    # Clamp so every (start, count) window stays inside the compacted buffer
-    # even when it overflows (trailing tiles are truncated, reported above).
-    starts2 = jnp.minimum(edges2[:-1], cap2)
-    counts2 = jnp.minimum(counts2, cap2 - starts2)
-
-    j = jnp.arange(cap2, dtype=jnp.int32)
-    tile_of = jnp.searchsorted(edges2, j, side="right").astype(jnp.int32) - 1
-    tile_of = jnp.clip(tile_of, 0, t_total - 1)
-    src = tile_starts[tile_of] + (j - edges2[:-1][tile_of])
-    valid = j < jnp.minimum(total2, cap2)
-    entry_bf2 = jnp.where(valid, entry_bf[jnp.where(valid, src, 0)], bf)
-    return entry_bf2, starts2, counts2, overflow
+    delta = jnp.zeros((r + 1,), jnp.int32)
+    delta = delta.at[tile_starts].add(1, mode="drop")
+    delta = delta.at[tile_starts + counts2].add(-1, mode="drop")
+    keep = jnp.cumsum(delta[:r], dtype=jnp.int32) > 0
+    return keep, jnp.sum(counts2)
 
 
 # Face-stream record layout (FACE_RECORD_WIDTH = 32 f32 words per entry):

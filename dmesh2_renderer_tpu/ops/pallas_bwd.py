@@ -458,6 +458,9 @@ def scatter_entry_grads(
     max_vertex_valence: int = 256,
     giant_ids=None,            # (M2,) int32 tier-2 face ids (sentinel B*F)
     giant_seg_len: int = 0,    # static bound on a tier-2 face's entry count
+    keep=None,                 # (R,) bool contributing mask (binning.
+                               # contributing_mask); None = keep everything
+    compact_capacity: int | None = None,  # static post-sort prefix length
 ):
     """Deterministic reduction of per-entry grads to the six input tensors.
 
@@ -470,12 +473,31 @@ def scatter_entry_grads(
     per-face totals are gathered at each segment's last row. Only F-sized
     scatters remain (faces -> shared vertices). Fully deterministic.
 
+    Residual compaction (``keep`` + ``compact_capacity``): entries outside
+    a tile's contributing prefix have exactly-zero records, so their keys
+    are masked to the sentinel -- they sort to the end, and every post-sort
+    stage (scans, tails, ladder) runs on the static ``compact_capacity``
+    prefix instead of R (~1/4 of R at the 1080p headline). The sort itself
+    stays R-sized: pre-compacting its operands was measured strictly more
+    expensive than the savings (an index-map + 29-column regather costs
+    ~115 ms to save ~106 of sort -- benchmarks/micro_compact.py). If the
+    contributing count exceeds the capacity, trailing rows drop silently
+    here (the axon TPU runtime supports no host callbacks, so no
+    jax.debug.print); the forward pass reports the count via
+    RasterAux.num_grad_contributing and Renderer.forward warns on it.
+
     Returns (d_verts (P,3), d_verts_color (P,3), d_faces_opacity (F,),
     d_verts_ndc_z (B,P), d_faces_intense (B,F), d_aa_face_verts (B,F,3,2)).
     """
     r = grad_records.shape[0]
     f = faces.shape[0]
     bf = n_batch * f
+
+    key = entry_bf
+    r2 = r
+    if keep is not None and compact_capacity is not None:
+        key = jnp.where(keep, entry_bf, bf)
+        r2 = min(r, compact_capacity)
 
     # Sort grads by entry id; sentinel/garbage rows (id == BF, including the
     # never-written tail past the last tile) sort to the end and are dropped
@@ -488,8 +510,10 @@ def scatter_entry_grads(
     # consumed. NaN garbage is masked to zero before the scan so it cannot
     # poison real segments.
     sbf, rec_pieces = sort_rows_by_key(
-        entry_bf, [grad_records[:, i] for i in range(29)]
+        key, [grad_records[:, i] for i in range(29)]
     )
+    sbf = sbf[:r2]
+    rec_pieces = [p[:r2] for p in rec_pieces]
     mask = (sbf < bf)[:, None]
     rec_pieces = [jnp.where(mask, p, 0.0) for p in rec_pieces]
 

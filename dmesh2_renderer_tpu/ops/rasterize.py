@@ -31,7 +31,7 @@ from dmesh2_renderer_tpu.ops import reference as ref_ops
 from dmesh2_renderer_tpu.ops.binning import (
     bin_faces,
     build_face_table_from_corners,
-    compact_tile_entries,
+    contributing_mask,
     gather_face_corners,
     gather_stream,
 )
@@ -43,6 +43,12 @@ from dmesh2_renderer_tpu.utils.config import TILE_X, TILE_Y, RasterConfig
 class RasterAux(NamedTuple):
     num_rendered: jnp.ndarray   # () int32: true duplicated-instance count
     num_truncated: jnp.ndarray  # () int32: entries dropped by capacity/Kt
+    # () int32: entries inside some tile's contributing prefix -- what
+    # RasterConfig.grad_compact_capacity must cover for lossless backward
+    # compaction. Reported from the FORWARD pass because the axon TPU
+    # runtime supports no host callbacks (jax.debug.print) to warn from the
+    # backward; Renderer.forward checks it against the config and warns.
+    num_grad_contributing: jnp.ndarray
 
 
 @functools.lru_cache(maxsize=32)
@@ -77,6 +83,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             config.binning_capacity, config.max_tiles_per_face,
             num_giant_faces=config.num_giant_faces,
             giant_tiles=config.giant_tiles,
+            exact_tile_cull=config.exact_tile_cull,
         )
         table = build_face_table_from_corners(
             v9, c9, z, faces_opacity, faces_intense, aa_face_verts,
@@ -95,8 +102,9 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
                 jnp.broadcast_to(ray_o_cam[:, None, None, :], ray_d.shape), ray_d, tau,
             )
             zero = jnp.zeros((), jnp.int32)
-            return (color, depth, ref_aux.final_t, RasterAux(zero, zero)), None
-        binning, stream, table = _pipeline(
+            return (color, depth, ref_aux.final_t,
+                    RasterAux(zero, zero, zero)), None
+        binning, stream, _table = _pipeline(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, patch_min,
         )
@@ -105,12 +113,11 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             background, patch_min, patch_width, patch_height, tau,
             chunk=config.face_chunk, interpret=config.interpret,
         )
-        aux = RasterAux(binning.num_rendered, binning.num_truncated)
-        # With compaction on, backward re-gathers its own (smaller) stream
-        # from the face table, so the R-sized forward stream is NOT a
-        # residual and XLA frees it after the forward kernel.
-        big = table if config.grad_compact_capacity else stream
-        residuals = (big, binning.entry_bf, binning.tile_starts,
+        n_contrib_total = jnp.sum(
+            jnp.minimum(binning.tile_counts, jnp.maximum(nc_tile, 0)))
+        aux = RasterAux(binning.num_rendered, binning.num_truncated,
+                        n_contrib_total)
+        residuals = (stream, binning.entry_bf, binning.tile_starts,
                      binning.tile_counts, binning.giant_ids, nc_tile,
                      color, depth, final_t, prev_t)
         return (color, depth, final_t, aux), residuals
@@ -156,37 +163,28 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             d6 = vjp((g_color, g_depth, g_final_t))
             return (*d6, None, None, None, None, None)
 
-        (big, entry_bf, starts, counts, giant_ids, nc_tile,
+        (stream, entry_bf, starts, counts, giant_ids, nc_tile,
          color, depth, final_t, prev_t) = residuals
-        if config.grad_compact_capacity:
-            # Residual compaction: keep each tile's contributing prefix only
-            # (compact_tile_entries docstring); every backward stage below
-            # then runs at the compacted size.
-            entry_bf, starts, counts, overflow = compact_tile_entries(
-                entry_bf, starts, counts, nc_tile,
-                config.grad_compact_capacity,
-                verts_ndc.shape[0] * faces.shape[0],
-            )
-            nc_tile = counts  # all remaining entries contribute
-            jax.lax.cond(
-                overflow > 0,
-                lambda o: jax.debug.print(
-                    "dmesh2_renderer_tpu: grad compaction overflow -- {n} "
-                    "contributing entries dropped (trailing tiles lost their "
-                    "gradients); raise RasterConfig.grad_compact_capacity.",
-                    n=o),
-                lambda o: None,
-                overflow,
-            )
-            stream = gather_stream(big, entry_bf)
-        else:
-            stream = big
         grad_records = composite_backward(
             stream, starts, counts, nc_tile, ray_o_cam, ray_d, background,
             patch_min, color, depth, final_t, prev_t, g_color, g_depth,
             g_final_t, patch_width, patch_height, tau,
             chunk=config.face_chunk, interpret=config.interpret,
         )
+        if config.grad_compact_capacity:
+            # Residual compaction folded into the scatter's sort: entries
+            # past a tile's contributing prefix have exactly-zero records,
+            # so their keys mask to the sentinel and all post-sort stages
+            # run on the static compact_capacity prefix (scatter_entry_grads
+            # docstring; pre-compacting the stream was measured a net loss).
+            # Overflow is reported through the FORWARD aux
+            # (num_grad_contributing): no host callbacks exist on this
+            # runtime to warn from here.
+            keep, _ = contributing_mask(
+                starts, counts, nc_tile, entry_bf.shape[0]
+            )
+        else:
+            keep = None
         gx = -(-patch_width // TILE_X)
         gy = -(-patch_height // TILE_Y)
         kt2 = (gx * gy if config.giant_tiles is None
@@ -197,6 +195,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             max_vertex_valence=config.max_vertex_valence,
             giant_ids=giant_ids if config.num_giant_faces > 0 else None,
             giant_seg_len=config.max_tiles_per_face + kt2,
+            keep=keep, compact_capacity=config.grad_compact_capacity,
         )
         d_vndc = jnp.zeros_like(verts_ndc).at[..., 2].set(d_vndc_z)
         return (d_verts, d_vcolor, d_op, d_vndc, d_int, d_aa,

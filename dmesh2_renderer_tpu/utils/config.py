@@ -79,6 +79,18 @@ class RasterConfig:
     # via num_truncated).
     num_giant_faces: int = 64
     giant_tiles: int | None = None
+    # Exact triangle-vs-tile SAT cull on top of the reference's bbox-rect
+    # duplication (renderer.cu:415-465): slots whose tile box the screen
+    # triangle does not intersect are dropped at binning time, shrinking
+    # every R-sized downstream stage ~20-40% on thin-triangle scenes with
+    # identical rendered output -- such entries never pass the kernels' AA/
+    # inside tests. Off by default for exact reference emission parity: the
+    # one behavioral corner is tau=0 "phantom" coverage from faces crossing
+    # the near plane (clamped-projection screen triangles misplace them;
+    # the cull drops more of those than the bbox rect does). Only the
+    # Renderer pipeline uses it; the LayeredRenderer peel always bins by
+    # rect (its hit test is 3-D, not screen-space).
+    exact_tile_cull: bool = False
     # Use the Pallas kernels; False falls back to the pure-XLA reference
     # compositor (slow; used by tests and as executable documentation).
     use_pallas: bool = True
@@ -100,9 +112,12 @@ class RasterConfig:
     # every R-sized backward sort/scan several-fold at heavy overdraw. This
     # sets the compacted stream's static capacity. None disables compaction
     # (backward runs on the full binning stream). If the contributing count
-    # ever exceeds this, trailing tiles lose their gradients and a loud
-    # jax.debug.print fires each step; size it from the profiler's reported
-    # contributing count (benchmarks/profile_stages.py) with headroom.
+    # ever exceeds this, trailing rows lose their gradients; the forward
+    # pass reports the count (RasterAux.num_grad_contributing) and
+    # Renderer.forward warns when it exceeds this cap (the TPU runtime has
+    # no host callbacks, so the backward cannot print). Size it from the
+    # profiler's reported contributing count (benchmarks/profile_stages.py)
+    # with headroom.
     grad_compact_capacity: int | None = None
     # Renderer.forward checks the overflow counter after each call and warns
     # when binning truncated instances (missing geometry). Costs one scalar

@@ -105,7 +105,7 @@ def profile_render(
         lambda aav, d, al: bin_faces(
             aav, d, al, pm, width, height, cfg.binning_capacity,
             cfg.max_tiles_per_face, num_giant_faces=cfg.num_giant_faces,
-            giant_tiles=cfg.giant_tiles,
+            giant_tiles=cfg.giant_tiles, exact_tile_cull=cfg.exact_tile_cull,
         ),
         aa_verts, depth01, alive, iters=iters)
     say("bin_faces", t_bin)
@@ -131,32 +131,6 @@ def profile_render(
         jnp.minimum(binning.tile_counts, jnp.maximum(nc_tile, 0))))
     say("contributing entries", float(n_contributing))
 
-    entry_bf = binning.entry_bf
-    starts, counts = binning.tile_starts, binning.tile_counts
-    t_compact = 0.0
-    if cfg.grad_compact_capacity:
-        from dmesh2_renderer_tpu.ops.binning import (
-            build_face_table,
-            compact_tile_entries,
-            gather_stream,
-        )
-
-        table = jax.jit(build_face_table, static_argnames=("interpret",))(
-            verts, faces, verts_color, faces_opacity, verts_ndc,
-            faces_intense, aa_verts, interpret=cfg.interpret)
-
-        def compact_and_gather(e, st, ct, nc):
-            e2, st2, ct2, _ = compact_tile_entries(
-                e, st, ct, nc, cfg.grad_compact_capacity,
-                b * faces.shape[0])
-            return gather_stream(table, e2), e2, st2, ct2
-
-        (stream, entry_bf, starts, counts), t_compact = time_jitted(
-            compact_and_gather, entry_bf, starts, counts, nc_tile,
-            iters=iters)
-        nc_tile = counts
-        say("compact+regather", t_compact)
-
     g_color = jnp.ones_like(color)
     g_depth = jnp.ones_like(depth)
     grad_records, t_bwd = time_jitted(
@@ -165,7 +139,7 @@ def profile_render(
             final_t, prev_t, g_color, g_depth, jnp.zeros_like(g_depth),
             width, height, tau, chunk=cfg.face_chunk,
             interpret=cfg.interpret),
-        stream, starts, counts, nc_tile,
+        stream, binning.tile_starts, binning.tile_counts, nc_tile,
         iters=iters)
     say("composite_backward", t_bwd)
 
@@ -178,14 +152,24 @@ def profile_render(
     gy = -(-height // TILE_Y)
     kt2 = (gx * gy if cfg.giant_tiles is None
            else min(cfg.giant_tiles, gx * gy))
-    _, t_scatter = time_jitted(
-        lambda gr, e, gid: scatter_entry_grads(
+
+    def scatter_stage(gr, e, gid, st, ct, nc):
+        keep = None
+        if cfg.grad_compact_capacity:
+            from dmesh2_renderer_tpu.ops.binning import contributing_mask
+
+            keep, _ = contributing_mask(st, ct, nc, e.shape[0])
+        return scatter_entry_grads(
             gr, e, faces, verts.shape[0], b,
             max_tiles_per_face=cfg.max_tiles_per_face,
             max_vertex_valence=cfg.max_vertex_valence,
             giant_ids=gid if cfg.num_giant_faces > 0 else None,
-            giant_seg_len=cfg.max_tiles_per_face + kt2),
-        grad_records, entry_bf, binning.giant_ids, iters=iters)
+            giant_seg_len=cfg.max_tiles_per_face + kt2,
+            keep=keep, compact_capacity=cfg.grad_compact_capacity)
+
+    _, t_scatter = time_jitted(
+        scatter_stage, grad_records, binning.entry_bf, binning.giant_ids,
+        binning.tile_starts, binning.tile_counts, nc_tile, iters=iters)
     say("scatter_entry_grads", t_scatter)
 
     def loss_fn(verts, verts_color, faces_opacity, faces_intense):
@@ -207,8 +191,6 @@ def profile_render(
         "prep": t_prep, "binning": t_bin, "pack": t_pack,
         "fwd_kernel": t_fwd, "bwd_kernel": t_bwd, "scatter": t_scatter,
     }
-    if cfg.grad_compact_capacity:
-        stages["compact"] = t_compact
     accounted = sum(stages.values())
     return {
         "stages_ms": {k: round(v, 2) for k, v in stages.items()},
@@ -217,5 +199,8 @@ def profile_render(
         "unattributed_ms": round(t_e2e - accounted, 2),
         "num_rendered": int(binning.num_rendered),
         "num_truncated": int(binning.num_truncated),
+        # Entries actually in the sorted stream (post Kt/giant/cull, pre
+        # capacity clamp at most capacity): what binning_capacity must cover.
+        "num_binned": int(jnp.sum(binning.tile_counts)),
         "num_contributing": n_contributing,
     }

@@ -234,3 +234,81 @@ def test_giant_tier_prefers_most_oversized():
     assert ids == [1, 2], ids  # faces 1 and 2, NOT (0, 1) by id order
     # Face 0 loses its tier slot; its overflow must be reported.
     assert int(full.num_truncated) > 0
+
+
+def test_exact_tile_cull_drops_bbox_only_tiles():
+    """A thin diagonal triangle's bbox rect spans a 4x4 tile block, but the
+    triangle itself only crosses the diagonal band of tiles; the SAT cull
+    must drop the empty corner tiles, not count them as truncation, and
+    keep num_rendered at the reference's rect count."""
+    width = height = 64  # 4x4 tiles
+    aa = jnp.asarray(
+        [[[[1.0, 1.0], [6.0, 2.0], [62.0, 62.0]]]], jnp.float32)
+    depth01 = jnp.asarray([[0.5]], jnp.float32)
+    alive = jnp.ones((1, 1), bool)
+    pm = jnp.zeros((1, 2), jnp.int32)
+
+    rect = bin_faces(aa, depth01, alive, pm, width, height,
+                     capacity=128, max_tiles_per_face=16)
+    culled = bin_faces(aa, depth01, alive, pm, width, height,
+                       capacity=128, max_tiles_per_face=16,
+                       exact_tile_cull=True)
+    assert int(rect.num_rendered) == 16
+    assert int(culled.num_rendered) == 16          # reference rect count
+    assert int(rect.num_truncated) == 0
+    assert int(culled.num_truncated) == 0          # culled != truncated
+    n_rect = int((rect.entry_bf != 1).sum() == 0) * 0 + int(
+        jnp.sum(rect.tile_counts))
+    n_cull = int(jnp.sum(culled.tile_counts))
+    assert n_rect == 16
+    assert n_cull < n_rect
+    # The band tiles (diagonal) must survive: tile (ty, tx) for ty == tx.
+    counts = np.asarray(culled.tile_counts).reshape(4, 4)
+    assert (counts.diagonal() == 1).all()
+    # The far corners cannot intersect the band.
+    assert counts[0, 3] == 0 and counts[3, 0] == 0
+
+
+def test_exact_tile_cull_render_and_grads_unchanged():
+    """With a scene fully in front of the camera, exact tile culling must
+    not change the image or any gradient beyond chunk-reassociation ulp
+    noise (dropped slots never pass the kernels' AA/inside tests)."""
+    import jax
+
+    from dmesh2_renderer_tpu.functional import render
+    from dmesh2_renderer_tpu.utils.config import RasterConfig
+    from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
+
+    verts_np, faces_np = icosphere(1)
+    rng = np.random.default_rng(3)
+    verts_np = verts_np + rng.normal(scale=1e-3, size=verts_np.shape).astype(
+        np.float32)
+    f = faces_np.shape[0]
+    mv, proj = orbit_cameras(2)
+    vc = jnp.asarray(rng.uniform(size=(verts_np.shape[0], 3)).astype(np.float32))
+    fo = jnp.asarray(rng.uniform(0.3, 0.9, size=(f,)).astype(np.float32))
+    fi = jnp.ones((2, f), jnp.float32)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+    def loss(v, c, o, cfg):
+        col, dep, _ = render(jnp.asarray(v), jnp.asarray(faces_np), c, o, fi,
+                             jnp.asarray(mv), jnp.asarray(proj), bg,
+                             48, 48, 1.0, cfg)
+        return jnp.sum(col * 1.3) + jnp.sum(dep), (col, dep)
+
+    out = {}
+    for cull in (False, True):
+        cfg = RasterConfig(binning_capacity=2048, interpret=True,
+                           exact_tile_cull=cull)
+        (l, (col, dep)), g = jax.value_and_grad(
+            lambda v: loss(v, vc, fo, cfg), has_aux=True)(jnp.asarray(verts_np))
+        out[cull] = (np.asarray(col), np.asarray(dep), np.asarray(g))
+    # Dropped slots never blend, but their removal shifts chunk boundaries,
+    # so the per-chunk blend reductions reassociate: equality to ulp noise.
+    np.testing.assert_allclose(out[False][0], out[True][0],
+                               rtol=3e-7, atol=3e-7)
+    np.testing.assert_allclose(out[False][1], out[True][1],
+                               rtol=3e-7, atol=3e-7)
+    # Gradient reduction segments shrink too -- scan pairing reassociates.
+    np.testing.assert_allclose(out[False][2], out[True][2],
+                               rtol=5e-5, atol=1e-6)

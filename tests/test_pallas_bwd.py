@@ -141,8 +141,7 @@ def test_grad_compaction_matches_uncompacted():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-5, atol=1e-6)
 
-    # Overflow path: a tiny compact capacity truncates but must stay finite
-    # (and fire the debug warning, not crash).
+    # Overflow path: a tiny compact capacity truncates but must stay finite.
     cfg_tiny = RasterConfig(binning_capacity=2048, interpret=True,
                             grad_compact_capacity=128)
     g_tiny = jax.grad(loss, argnums=(0,))(args[0], args[2], args[3], cfg_tiny)
