@@ -358,7 +358,8 @@ def _bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patch_width", "patch_height", "aa_temperature", "chunk", "interpret"),
+    static_argnames=("patch_width", "patch_height", "aa_temperature", "chunk",
+                     "interpret", "blocked"),
 )
 def composite_backward(
     face_stream,   # (NB, 32, 128) field-major blocks (binning.block_stream)
@@ -383,8 +384,15 @@ def composite_backward(
     aa_temperature: float,
     chunk: int = 128,
     interpret: bool = False,
+    blocked: bool = False,
 ):
-    """Per-entry gradient records (R, 32) in face-stream entry order."""
+    """Per-entry gradient records in face-stream entry order.
+
+    ``blocked=False``: (R, 32) rows. ``blocked=True``: the kernel's native
+    (NB, 32, 128) field-major blocks -- pass these straight to
+    scatter_entry_grads so its sort operands slice contiguous field rows
+    instead of stride-32 columns of the relayout.
+    """
     b, h, w, _ = ray_d.shape
     gx = -(-patch_width // TILE_X)
     gy = -(-patch_height // TILE_Y)
@@ -441,6 +449,11 @@ def composite_backward(
         interpret=interpret,
     )(tile_starts, tile_counts, pm_flat, ray_o_flat,
       nc_tile.astype(jnp.int32), stream, ray_d_t, gin_t, res_t, bg4)
+    if blocked:
+        # Kernel-native layout: scatter_entry_grads slices field rows
+        # gout[:, i, :] directly -- block-contiguous reads -- instead of
+        # stride-32 column slices of the (R, 32) relayout.
+        return gout
     from dmesh2_renderer_tpu.ops.binning import unblock_stream
 
     return unblock_stream(gout)
@@ -449,7 +462,7 @@ def composite_backward(
 
 
 def scatter_entry_grads(
-    grad_records,  # (R, 32) per-entry gradient records
+    grad_records,  # (R, 32) records, or (NB, 32, 128) field-major blocks
     entry_bf,      # (R,) int32 (sentinel = B*F)
     faces,         # (F, 3) int32
     n_verts: int,
@@ -489,7 +502,16 @@ def scatter_entry_grads(
     Returns (d_verts (P,3), d_verts_color (P,3), d_faces_opacity (F,),
     d_verts_ndc_z (B,P), d_faces_intense (B,F), d_aa_face_verts (B,F,3,2)).
     """
-    r = grad_records.shape[0]
+    if grad_records.ndim == 3:
+        # Field-major blocks from composite_backward(blocked=True): field i
+        # is the block-contiguous slice [:, i, :] -- no (R, 32) relayout and
+        # no stride-32 column extraction ahead of the sorts.
+        nb_blk, _w, blk = grad_records.shape
+        r = nb_blk * blk
+        cols = [grad_records[:, i, :].reshape(r) for i in range(29)]
+    else:
+        r = grad_records.shape[0]
+        cols = [grad_records[:, i] for i in range(29)]
     f = faces.shape[0]
     bf = n_batch * f
 
@@ -509,9 +531,7 @@ def scatter_entry_grads(
     # irrelevant, since only permutation-invariant per-segment SUMS are
     # consumed. NaN garbage is masked to zero before the scan so it cannot
     # poison real segments.
-    sbf, rec_pieces = sort_rows_by_key(
-        key, [grad_records[:, i] for i in range(29)]
-    )
+    sbf, rec_pieces = sort_rows_by_key(key, cols)
     sbf = sbf[:r2]
     rec_pieces = [p[:r2] for p in rec_pieces]
     mask = (sbf < bf)[:, None]

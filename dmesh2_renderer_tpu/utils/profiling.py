@@ -138,7 +138,7 @@ def profile_render(
             s, st, ct, nc, ray_o_cam, ray_d, background, pm, color, depth,
             final_t, prev_t, g_color, g_depth, jnp.zeros_like(g_depth),
             width, height, tau, chunk=cfg.face_chunk,
-            interpret=cfg.interpret),
+            interpret=cfg.interpret, blocked=True),
         stream, binning.tile_starts, binning.tile_counts, nc_tile,
         iters=iters)
     say("composite_backward", t_bwd)

@@ -86,20 +86,17 @@ def test_face_sharded_grads_match_unsharded():
 
     ref_l, ref_g = jax.jit(jax.value_and_grad(ref_loss))(params)
 
-    mesh = make_face_mesh(8)
-    opt = optax.sgd(0.0)  # zero step: inspect loss/grads via the step fn
-    step = make_face_sharded_train_step(mesh, opt, faces, width, height,
-                                        1.0, cfg)
-    new_params, _, loss = step(params, opt.init(params), fi, mv, proj, tgt, bg)
-
-    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-6)
-    # sgd(0) leaves params unchanged -> compare grads via a tiny finite step
-    # instead: rebuild with lr so the update equals -lr * grad.
+    # One step with lr=1 checks BOTH the loss and the gradients (the update
+    # equals -lr * grad for sgd); a second sgd(0) step would compile the
+    # whole sharded pipeline twice for no extra coverage.
     lr = 1.0
+    mesh = make_face_mesh(8)
     opt2 = optax.sgd(lr)
     step2 = make_face_sharded_train_step(mesh, opt2, faces, width, height,
                                          1.0, cfg)
-    upd_params, _, _ = step2(params, opt2.init(params), fi, mv, proj, tgt, bg)
+    upd_params, _, loss = step2(params, opt2.init(params), fi, mv, proj, tgt,
+                                bg)
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-6)
     for name, got, want in zip(
         SceneParams._fields,
         jax.tree.leaves(jax.tree.map(lambda a, b: (a - b) / -lr,

@@ -17,7 +17,7 @@ CFG = RasterConfig(binning_capacity=1 << 12, interpret=True)
 
 
 def test_trainer_checkpoint_resume(tmp_path):
-    b, hw = 8, 32
+    b, hw = 8, 16  # interpret-mode walltime scales with tiles
     verts, faces = icosphere(0)
     mv, proj = orbit_cameras(b)
     f = faces.shape[0]
