@@ -474,6 +474,7 @@ def scatter_entry_grads(
     keep=None,                 # (R,) bool contributing mask (binning.
                                # contributing_mask); None = keep everything
     compact_capacity: int | None = None,  # static post-sort prefix length
+    sort_mode: str = "payload",  # "payload" | "iota" (see sort comment)
 ):
     """Deterministic reduction of per-entry grads to the six input tensors.
 
@@ -523,19 +524,39 @@ def scatter_entry_grads(
 
     # Sort grads by entry id; sentinel/garbage rows (id == BF, including the
     # never-written tail past the last tile) sort to the end and are dropped
-    # by the validity masks below. The 29 gradient columns ride the sort as
-    # PAYLOAD operands (utils/segments.sort_rows_by_key: two sorts sharing
-    # the key; measured 176 ms vs 261 ms for sort(key, iota) + split
-    # permutation gathers at R = 5.25M, benchmarks/micro_sortcarry.py).
-    # The split sorts may order rows differently within a segment --
-    # irrelevant, since only permutation-invariant per-segment SUMS are
-    # consumed. NaN garbage is masked to zero before the scan so it cannot
-    # poison real segments.
-    sbf, rec_pieces = sort_rows_by_key(key, cols)
-    sbf = sbf[:r2]
-    rec_pieces = [p[:r2] for p in rec_pieces]
-    mask = (sbf < bf)[:, None]
-    rec_pieces = [jnp.where(mask, p, 0.0) for p in rec_pieces]
+    # by the validity masks below.
+    #
+    # "payload": the 29 gradient columns ride the sort as PAYLOAD operands
+    # (utils/segments.sort_rows_by_key: two sorts sharing the key; measured
+    # 176 ms vs 261 ms for sort(key, iota) + FULL-R permutation gathers at
+    # R = 5.25M, benchmarks/micro_sortcarry.py). The split sorts may order
+    # rows differently within a segment -- irrelevant, since only
+    # permutation-invariant per-segment SUMS are consumed.
+    #
+    # "iota": sort (key, iota) only and gather the 29 columns through the
+    # COMPACTED r2-prefix of the permutation -- with compaction the gather
+    # is ~r2/R the size that lost in round 2, while the sort drops from 30
+    # operands to 2 (benchmarks/micro_scatter_stages.py decides per-site).
+    #
+    # NaN garbage is masked to zero before the scan so it cannot poison
+    # real segments.
+    if sort_mode == "iota":
+        sbf, pos = jax.lax.sort(
+            (key, jnp.arange(r, dtype=jnp.int32)), num_keys=1, is_stable=True)
+        sbf, pos = sbf[:r2], pos[:r2]
+        mask = (sbf < bf)[:, None]
+        rec_pieces = [
+            jnp.where(mask,
+                      jnp.stack([cols[i][pos] for i in range(s, s + 15)
+                                 if i < 29], axis=1), 0.0)
+            for s in (0, 15)
+        ]
+    else:
+        sbf, rec_pieces = sort_rows_by_key(key, cols)
+        sbf = sbf[:r2]
+        rec_pieces = [p[:r2] for p in rec_pieces]
+        mask = (sbf < bf)[:, None]
+        rec_pieces = [jnp.where(mask, p, 0.0) for p in rec_pieces]
 
     # Segmented inclusive prefix sum along rows: segments are runs of equal
     # sbf, each of length <= Kt by construction (a face is binned into at

@@ -197,6 +197,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             giant_ids=giant_ids if config.num_giant_faces > 0 else None,
             giant_seg_len=config.max_tiles_per_face + kt2,
             keep=keep, compact_capacity=config.grad_compact_capacity,
+            sort_mode=config.grad_sort_mode,
         )
         d_vndc = jnp.zeros_like(verts_ndc).at[..., 2].set(d_vndc_z)
         return (d_verts, d_vcolor, d_op, d_vndc, d_int, d_aa,

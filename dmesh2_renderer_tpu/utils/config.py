@@ -119,6 +119,13 @@ class RasterConfig:
     # profiler's reported contributing count (benchmarks/profile_stages.py)
     # with headroom.
     grad_compact_capacity: int | None = None
+    # How the entry-grad reduction orders its records (ops/pallas_bwd
+    # scatter_entry_grads): "payload" carries the 29 gradient columns as
+    # lax.sort payload operands; "iota" sorts (key, iota) and gathers the
+    # columns through the compacted prefix of the permutation (only
+    # worthwhile with grad_compact_capacity set). Per-site measurement
+    # decides (benchmarks/micro_scatter_stages.py).
+    grad_sort_mode: str = "payload"
     # Renderer.forward checks the overflow counter after each call and warns
     # when binning truncated instances (missing geometry). Costs one scalar
     # device->host readback per call; set False in throughput-critical loops

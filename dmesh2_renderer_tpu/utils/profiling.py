@@ -165,7 +165,8 @@ def profile_render(
             max_vertex_valence=cfg.max_vertex_valence,
             giant_ids=gid if cfg.num_giant_faces > 0 else None,
             giant_seg_len=cfg.max_tiles_per_face + kt2,
-            keep=keep, compact_capacity=cfg.grad_compact_capacity)
+            keep=keep, compact_capacity=cfg.grad_compact_capacity,
+            sort_mode=cfg.grad_sort_mode)
 
     _, t_scatter = time_jitted(
         scatter_stage, grad_records, binning.entry_bf, binning.giant_ids,

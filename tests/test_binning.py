@@ -129,7 +129,10 @@ def test_giant_face_fully_binned():
 import pytest
 
 
-@pytest.mark.parametrize("kt", [4, 3])
+# kt=3 (non-pow2 ladder stride, the regression-prone path) stays in the
+# fast set; kt=4 duplicates the pow2 scan path the compaction/golden
+# tests already run at Kt=16.
+@pytest.mark.parametrize("kt", [pytest.param(4, marks=pytest.mark.slow), 3])
 def test_giant_face_render_and_grads_match_reference(kt):
     """End-to-end: a frame-spanning triangle renders and differentiates
     identically to the pure-XLA reference compositor (which has no tile
@@ -293,7 +296,7 @@ def test_exact_tile_cull_render_and_grads_unchanged():
     def loss(v, c, o, cfg):
         col, dep, _ = render(jnp.asarray(v), jnp.asarray(faces_np), c, o, fi,
                              jnp.asarray(mv), jnp.asarray(proj), bg,
-                             48, 48, 1.0, cfg)
+                             32, 32, 1.0, cfg)
         return jnp.sum(col * 1.3) + jnp.sum(dep), (col, dep)
 
     out = {}

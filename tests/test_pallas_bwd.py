@@ -67,7 +67,7 @@ def test_backward_matches_autodiff(tau):
 
     depth01, _, _, alive = face_depth01(verts_ndc, faces)
     binning = bin_faces(tris.verts, depth01, alive, pm, width, height,
-                        capacity=8192, max_tiles_per_face=64)
+                        capacity=1024, max_tiles_per_face=64)  # 80 faces x <=4 tiles x B=2
     stream = pack_face_stream(binning.entry_bf, verts, faces, vc, fo, verts_ndc, fi, tris.verts, interpret=True)
     ray_o_cam = ray_o[:, 0, 0, :]
     color, depth, ft, pt, _, nc_tile = composite_forward(
@@ -146,3 +146,28 @@ def test_grad_compaction_matches_uncompacted():
                             grad_compact_capacity=128)
     g_tiny = jax.grad(loss, argnums=(0,))(args[0], args[2], args[3], cfg_tiny)
     assert np.isfinite(np.asarray(g_tiny[0])).all()
+
+
+def test_scatter_sort_modes_agree():
+    """sort_mode="iota" (2-op sort + compacted-prefix gather) must reduce to
+    the same six gradients as the payload-carry sort; both are followed by
+    permutation-invariant per-segment sums, so equality is to reassociation
+    noise."""
+    rng = np.random.default_rng(5)
+    f, b, r, cap = 97, 2, 1024, 512
+    faces = jnp.asarray(rng.integers(0, 60, (f, 3)).astype(np.int32))
+    bf = b * f
+    entry = jnp.asarray(rng.integers(0, bf, (r,)).astype(np.int32))
+    recs = jnp.asarray(rng.normal(size=(r, 32)).astype(np.float32))
+    keep = jnp.asarray(rng.uniform(size=(r,)) < 0.4)
+    out = {}
+    for mode in ("payload", "iota"):
+        out[mode] = jax.jit(
+            lambda g, e, k: scatter_entry_grads(
+                g, e, faces, 60, b, max_tiles_per_face=16,
+                keep=k, compact_capacity=cap, sort_mode=mode),
+            static_argnames=(),
+        )(recs, entry, keep)
+    for a, b_ in zip(out["payload"], out["iota"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-6, atol=2e-6)

@@ -43,7 +43,7 @@ def test_pallas_forward_matches_reference(tau):
     )
     depth01, _, _, alive = face_depth01(verts_ndc, faces)
     binning = bin_faces(tris.verts, depth01, alive, pm, width, height,
-                        capacity=8192, max_tiles_per_face=64)
+                        capacity=1024, max_tiles_per_face=64)  # 80 faces x <=4 tiles x B=2
     stream = pack_face_stream(binning.entry_bf, verts, faces, vc, fo, verts_ndc, fi, tris.verts, interpret=True)
     color, depth, ft, pt, _, _nc = composite_forward(
         stream, binning.tile_starts, binning.tile_counts,
