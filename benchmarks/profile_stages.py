@@ -32,12 +32,12 @@ def main():
     else:
         # Same capacity as bench.py's headline (num_binned = 3.96M with the
         # SAT cull; ~230k headroom) so this table explains that number.
-        w, h, n_faces, capacity, kt = 1920, 1080, 1_000_000, 32 * (1 << 17), 16
+        w, h, n_faces, capacity, kt = 1920, 1080, 1_000_000, 32 * (1 << 17), 12
     tau = 1.0
     # Mirror bench.py's headline config (cull + grad compaction) so the
     # stage table explains the number the driver records.
     cfg = RasterConfig(binning_capacity=capacity, max_tiles_per_face=kt,
-                       num_giant_faces=8192, giant_tiles=32,
+                       num_giant_faces=16384, giant_tiles=40,
                        grad_compact_capacity=None if small else 1 << 21,
                        exact_tile_cull=True,
                        interpret=jax.default_backend() == "cpu")
