@@ -14,7 +14,39 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+
+def _probe_backend(timeout_s: float = 300.0) -> None:
+    """Fail fast (with a parseable artifact) when the TPU tunnel is down.
+
+    Backend init through the axon tunnel HANGS indefinitely during outages
+    (observed: 5h+ on 2026-08-17) -- a bare run would burn the driver's
+    whole budget and leave no artifact (round-2 rc=124 failure mode). Probe
+    in a subprocess with a hard timeout; on failure emit one JSON line
+    saying WHY there is no measurement, then exit 0 so the line survives.
+    """
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return  # init completed (any backend; CPU hosts return instantly)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "fwd+bwd Mpix/s, 1M tris @ 1080p, tau=1",
+            "value": 0.0,
+            "unit": "Mpix/s",
+            "vs_baseline": 0.0,
+            "error": f"jax backend init hung > {timeout_s:.0f}s "
+                     "(axon TPU tunnel outage); no measurement possible",
+        }), flush=True)
+        raise SystemExit(0)
+
+
+_probe_backend()
 
 import jax
 import jax.numpy as jnp
