@@ -183,13 +183,13 @@ def config5():
     # Two warmup steps: the first call compiles with uncommitted host inputs
     # and weak types; feeding its outputs back triggers exactly one recompile
     # (strong types + committed shardings). Steady state begins at call 3.
-    p, o, l = one(params, opt_state)
+    p, o, l, _s = one(params, opt_state)
     _force(l)
-    p, o, l = one(p, o)
+    p, o, l, _s = one(p, o)
     _force(l)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        p, o, l = one(p, o)
+        p, o, l, _s = one(p, o)
     _force(l)
     dt = (time.perf_counter() - t0) / ITERS
     _emit("5_e2e_64view_opt", 1.0 / dt, "steps/s",

@@ -1,4 +1,5 @@
 from dmesh2_renderer_tpu.parallel.data_parallel import (
+    RenderStats,
     SceneParams,
     make_sharded_train_step,
     make_view_mesh,
@@ -11,6 +12,7 @@ from dmesh2_renderer_tpu.parallel.face_parallel import (
 )
 
 __all__ = [
+    "RenderStats",
     "SceneParams",
     "make_sharded_train_step",
     "make_view_mesh",

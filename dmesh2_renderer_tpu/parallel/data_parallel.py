@@ -30,6 +30,21 @@ class SceneParams(NamedTuple):
     faces_opacity: jnp.ndarray  # (F,)
 
 
+class RenderStats(NamedTuple):
+    """Per-step capacity counters, max-reduced over the view shards.
+
+    Surfaces the two silent-truncation conditions of the static-capacity
+    design on the FUNCTIONAL path (the class API warns via Renderer.forward;
+    training loops previously had no signal): geometry dropped by binning
+    capacity, and gradient rows dropped by backward compaction. The contract
+    being protected is the reference's -- its dynamic alloc + atomicAdd never
+    drop (renderer.cu:175-183, backward.cu:495-529).
+    """
+
+    num_truncated: jnp.ndarray          # () int32: binned entries dropped
+    num_grad_contributing: jnp.ndarray  # () int32: must fit grad compaction
+
+
 def make_view_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     devices = jax.devices()[: n_devices or len(jax.devices())]
     return Mesh(devices, (axis,))
@@ -85,43 +100,47 @@ def make_sharded_train_step(
     (the 64-view end-to-end optimization loop), TPU-native.
 
     Returns step(params: SceneParams, opt_state, faces_intense, mv, proj,
-    target_color, background) -> (params, opt_state, loss).
+    target_color, background) -> (params, opt_state, loss, stats) with
+    ``stats: RenderStats`` the capacity counters max-reduced over shards
+    (zero host cost unless the caller reads them).
     """
     config = config or RasterConfig()
 
     def local_loss(params: SceneParams, fi_s, mv_s, proj_s, tgt_s, background):
-        color, depth, _aux = render(
+        color, depth, aux = render(
             params.verts, faces, params.verts_color, params.faces_opacity,
             fi_s, mv_s, proj_s, background, width, height, aa_temperature, config,
         )
         loss = jnp.mean((color - tgt_s) ** 2)
         if depth_weight:
             loss = loss + depth_weight * jnp.mean(depth**2)
-        return loss
+        stats = RenderStats(aux.num_truncated, aux.num_grad_contributing)
+        return loss, stats
 
     def shard_fn(params, fi_s, mv_s, proj_s, tgt_s, background):
-        loss, grads = jax.value_and_grad(local_loss)(
+        (loss, stats), grads = jax.value_and_grad(local_loss, has_aux=True)(
             params, fi_s, mv_s, proj_s, tgt_s, background
         )
         # Shared-parameter gradients: pure DP all-reduce over ICI.
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
         loss = jax.lax.pmean(loss, axis)
-        return loss, grads
+        stats = jax.tree.map(lambda s: jax.lax.pmax(s, axis), stats)
+        return loss, grads, stats
 
     sharded_grads = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
     @jax.jit
     def step(params, opt_state, faces_intense, mv, proj, target_color, background):
-        loss, grads = sharded_grads(
+        loss, grads, stats = sharded_grads(
             params, faces_intense, mv, proj, target_color, background
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, stats
 
     return step

@@ -22,10 +22,43 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmesh2_renderer_tpu.parallel.data_parallel import (
+    RenderStats,
     SceneParams,
     make_sharded_train_step,
 )
 from dmesh2_renderer_tpu.utils.config import RasterConfig
+
+
+def check_render_stats(stats: RenderStats, config: RasterConfig) -> None:
+    """Warn when a step's capacity counters signal silent truncation.
+
+    The functional-path analogue of Renderer.forward's overflow warnings:
+    binning truncation drops geometry; gradient-compaction overflow drops
+    gradient rows inside backward (the reference never drops either --
+    renderer.cu:175-183 dynamic alloc, backward.cu:495-529 atomicAdd).
+    Costs two scalar device->host readbacks.
+    """
+    import warnings
+
+    truncated = int(stats.num_truncated)
+    if truncated > 0:
+        warnings.warn(
+            f"binning truncated {truncated} face instances this step; the "
+            "rendered image is missing geometry. Raise "
+            "RasterConfig.binning_capacity (or max_tiles_per_face).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    cap = config.grad_compact_capacity
+    if cap and int(stats.num_grad_contributing) > cap:
+        warnings.warn(
+            f"{int(stats.num_grad_contributing)} entries contribute "
+            f"gradients but grad_compact_capacity={cap}: backward dropped "
+            "the excess (wrong gradients for some tiles). Raise "
+            "RasterConfig.grad_compact_capacity.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 class TrainState(NamedTuple):
@@ -74,11 +107,13 @@ class Trainer:
                  checkpoint_path: str | None = None,
                  checkpoint_every: int = 100):
         self.optimizer = optimizer
+        self.config = config or RasterConfig()
         self.step_fn = make_sharded_train_step(
-            mesh, optimizer, faces, width, height, aa_temperature, config
+            mesh, optimizer, faces, width, height, aa_temperature, self.config
         )
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
+        self.last_stats: RenderStats | None = None
 
     def init_state(self, params: SceneParams) -> TrainState:
         state = TrainState(params, self.optimizer.init(params),
@@ -89,10 +124,13 @@ class Trainer:
 
     def step(self, state: TrainState, faces_intense, mv, proj, target_color,
              background):
-        params, opt_state, loss = self.step_fn(
+        params, opt_state, loss, stats = self.step_fn(
             state.params, state.opt_state, faces_intense, mv, proj,
             target_color, background,
         )
+        self.last_stats = stats
+        if self.config.warn_on_overflow:
+            check_render_stats(stats, self.config)
         state = TrainState(params, opt_state, state.step + 1)
         if (self.checkpoint_path
                 and int(state.step) % self.checkpoint_every == 0):

@@ -78,6 +78,13 @@ def main():
         if i % 10 == 0:
             print(f"step {int(state.step):4d} loss {float(loss):.6f} "
                   f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)", flush=True)
+    # Capacity contract: nothing was silently dropped during the fit (the
+    # Trainer also warns per step via check_render_stats).
+    stats = trainer.last_stats
+    assert int(stats.num_truncated) == 0, "binning truncated geometry"
+    if cfg.grad_compact_capacity:
+        assert int(stats.num_grad_contributing) <= cfg.grad_compact_capacity, \
+            "backward compaction dropped gradient rows"
     if args.checkpoint:
         from dmesh2_renderer_tpu.train import save_checkpoint
 

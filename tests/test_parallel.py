@@ -101,7 +101,7 @@ def test_sharded_train_step_decreases_loss():
 
     losses = []
     for _ in range(3):
-        params, opt_state, loss = step(params, opt_state, it, mv, proj, target, bg)
+        params, opt_state, loss, stats = step(params, opt_state, it, mv, proj, target, bg)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
     assert np.isfinite(losses).all()

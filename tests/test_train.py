@@ -63,3 +63,38 @@ def test_checkpoint_roundtrip_scalars(tmp_path):
     back = load_checkpoint(path, st)
     assert int(back.step) == 7
     np.testing.assert_array_equal(np.asarray(back.params.verts), np.ones((4, 3)))
+
+
+def test_trainer_surfaces_compaction_overflow():
+    """Overflowing grad_compact_capacity through the FUNCTIONAL/train path
+    must warn (VERDICT r03 #8: the reference's atomicAdd never drops,
+    backward.cu:495-529; our static compaction may -- the signal must reach
+    training loops, not just Renderer.forward)."""
+    import pytest
+
+    b, hw = 1, 32
+    verts, faces = icosphere(2)  # 320 faces over a 2x2-tile frame
+    mv, proj = orbit_cameras(b)
+    f = faces.shape[0]
+    mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+
+    # Low opacity keeps transmittance above T_EPS deep into each tile's
+    # stream, so the contributing prefix far exceeds this capacity (128 is
+    # the smallest the scan-window machinery supports).
+    cfg = RasterConfig(binning_capacity=1 << 12, interpret=True,
+                       grad_compact_capacity=128)
+    params = SceneParams(
+        verts=jnp.asarray(verts),
+        verts_color=jnp.abs(jnp.asarray(verts)),
+        faces_opacity=jnp.full((f,), 0.2, jnp.float32),
+    )
+    it = jnp.ones((b, f), jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
+    tgt = jnp.zeros((b, hw, hw, 3), jnp.float32)
+
+    tr = Trainer(mesh, optax.adam(1e-2), jnp.asarray(faces), hw, hw, 1.0, cfg)
+    state = tr.init_state(params)
+    with pytest.warns(RuntimeWarning, match="grad_compact_capacity"):
+        state, _loss = tr.step(state, it, jnp.asarray(mv), jnp.asarray(proj),
+                               tgt, bg)
+    assert int(tr.last_stats.num_grad_contributing) > 128
