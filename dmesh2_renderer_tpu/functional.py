@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from dmesh2_renderer_tpu import geometry as G
 from dmesh2_renderer_tpu.ops.rasterize import make_rasterizer
 from dmesh2_renderer_tpu.utils.config import RasterConfig
-from dmesh2_renderer_tpu.utils.validate import check_vertex_valence
+from dmesh2_renderer_tpu.utils.segments import static_vertex_order
+from dmesh2_renderer_tpu.utils.validate import valence_cache
 
 
 def render_partial(
@@ -41,14 +42,16 @@ def render_partial(
     b = mv.shape[0]
     ray_o, ray_d = G.init_rays(mv, proj, width, height)
     verts_ndc, verts_image = G.compute_verts_ndc_image(verts, mv, proj, width, height)
-    check_vertex_valence(faces, config.max_vertex_valence)
+    valence_cache.check(faces, config.max_vertex_valence)
+    vperm, svids = (static_vertex_order(faces)
+                    if config.vertex_sort_mode == "static" else (None, None))
     aa_verts = G.face_aa_verts_ccw(verts_image, faces,
-                                   config.max_vertex_valence)
+                                   config.max_vertex_valence, vperm, svids)
     patch_min = jnp.zeros((b, 2), jnp.int32)
     rasterize = make_rasterizer(width, height, float(aa_temperature), config)
     return rasterize(
         verts, verts_color, faces_opacity, verts_ndc, faces_intense, aa_verts,
-        faces, background, patch_min, ray_o[:, 0, 0, :], ray_d,
+        faces, background, patch_min, ray_o[:, 0, 0, :], ray_d, vperm, svids,
     )
 
 

@@ -211,7 +211,8 @@ def _face_aa_verts_impl(verts_image, faces):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def face_aa_verts_ccw(verts_image, faces, max_vertex_valence: int = 256):
+def face_aa_verts_ccw(verts_image, faces, max_vertex_valence: int = 256,
+                      vperm=None, svids=None):
     """CCW screen-space AA triangles (B, F, 3, 2) -- the rasterizer input.
 
     Value-identical to ``face_aa_triangles(verts_image, faces).verts``, but
@@ -224,13 +225,19 @@ def face_aa_verts_ccw(verts_image, faces, max_vertex_valence: int = 256):
     gradient sum -- pass ``RasterConfig.max_vertex_valence`` so one knob
     governs every valence-bounded reduction (callers with concrete ``faces``
     can verify via ``utils.validate.check_vertex_valence``).
+
+    ``vperm``/``svids`` (optional): the host-precomputed stable vertex order
+    from ``utils.segments.static_vertex_order(faces)``; when given, the
+    backward's 3F-row runtime sort becomes a fixed permutation gather
+    (RasterConfig.vertex_sort_mode="static").
     """
     return _face_aa_verts_impl(verts_image, faces)[0]
 
 
-def _face_aa_verts_fwd(verts_image, faces, max_vertex_valence: int = 256):
+def _face_aa_verts_fwd(verts_image, faces, max_vertex_valence: int = 256,
+                       vperm=None, svids=None):
     out, neg = _face_aa_verts_impl(verts_image, faces)
-    return out, (neg, faces, verts_image.shape[1])
+    return out, (neg, faces, verts_image.shape[1], vperm, svids)
 
 
 def _face_aa_verts_bwd(max_vertex_valence, res, g):
@@ -240,7 +247,7 @@ def _face_aa_verts_bwd(max_vertex_valence, res, g):
         sort_rows_by_key,
     )
 
-    neg, faces, p = res
+    neg, faces, p, vperm, svids = res
     b, f = neg.shape
     # Un-swap the cotangent (the CCW reorder is its own inverse).
     g0 = g[..., 0, :]
@@ -250,14 +257,21 @@ def _face_aa_verts_bwd(max_vertex_valence, res, g):
         [gk.transpose(1, 0, 2).reshape(f, 2 * b) for gk in (g0, g1, g2)],
         axis=0,
     )                                                 # (3F, 2B)
-    vids = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
-    sv, contrib_pieces = sort_rows_by_key(
-        vids, [contrib[:, i] for i in range(2 * b)]
-    )
+    if vperm is not None:
+        # Static topology order (utils/segments.static_vertex_order): one
+        # fixed row-gather instead of the runtime payload sort.
+        sv = svids
+        gg = contrib[vperm]
+        contrib_pieces = [gg[:, s:s + 15] for s in range(0, 2 * b, 15)]
+    else:
+        vids = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+        sv, contrib_pieces = sort_rows_by_key(
+            vids, [contrib[:, i] for i in range(2 * b)]
+        )
     accs = [segmented_prefix_sum(cp, sv, min(3 * f, max_vertex_valence))
             for cp in contrib_pieces]
     d_img = segment_tails(accs, sv, p)                # (P, 2B)
-    return d_img.reshape(p, b, 2).transpose(1, 0, 2), None
+    return d_img.reshape(p, b, 2).transpose(1, 0, 2), None, None, None
 
 
 face_aa_verts_ccw.defvjp(_face_aa_verts_fwd, _face_aa_verts_bwd)

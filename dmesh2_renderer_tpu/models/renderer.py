@@ -26,10 +26,11 @@ import jax.numpy as jnp
 from dmesh2_renderer_tpu import geometry as G
 from dmesh2_renderer_tpu.ops.rasterize import make_rasterizer
 from dmesh2_renderer_tpu.utils.config import RasterConfig
+from dmesh2_renderer_tpu.utils.segments import static_vertex_order
 from dmesh2_renderer_tpu.utils.validate import (
     check_cameras,
     check_render_args,
-    check_vertex_valence,
+    valence_cache,
 )
 
 
@@ -46,7 +47,6 @@ class Renderer:
         self.aa_grad_buffer_size = aa_grad_buffer_size  # parity arg; unused
         self.config = config or RasterConfig()
         self.last_aux = None
-        self._valence_checked = set()
         # One jitted pipeline per (patch shape, tau): without this, every
         # preprocessing op dispatches eagerly (very expensive on remote
         # backends -- measured ~30 ms per dispatch through a TPU tunnel).
@@ -65,14 +65,15 @@ class Renderer:
             @jax.jit
             def fwd(verts, faces, verts_color, faces_opacity, faces_intense,
                     background, mv_all, proj_all, batch_mvp_idx, batch_patch_min,
-                    ray_o_full, ray_d_full):
+                    ray_o_full, ray_d_full, vperm, svids):
                 b_mv = mv_all[batch_mvp_idx]
                 b_proj = proj_all[batch_mvp_idx]
                 verts_ndc, verts_image = G.compute_verts_ndc_image(
                     verts, b_mv, b_proj, width, height
                 )
                 aa_verts = G.face_aa_verts_ccw(
-                    verts_image, faces, self.config.max_vertex_valence
+                    verts_image, faces, self.config.max_vertex_valence,
+                    vperm, svids,
                 )
                 ray_o, ray_d = G.select_rays(
                     ray_o_full, ray_d_full, batch_mvp_idx, batch_patch_min,
@@ -81,7 +82,7 @@ class Renderer:
                 color, depth_raw, _final_t, aux = rasterize(
                     verts, verts_color, faces_opacity, verts_ndc,
                     faces_intense, aa_verts, faces, background,
-                    batch_patch_min, ray_o[:, 0, 0, :], ray_d,
+                    batch_patch_min, ray_o[:, 0, 0, :], ray_d, vperm, svids,
                 )
                 return color, 1.0 - (depth_raw + 1.0) / 2.0, aux
 
@@ -116,13 +117,16 @@ class Renderer:
         verts = jnp.asarray(verts, dtype=jnp.float32)
         faces = jnp.asarray(faces, dtype=jnp.int32)
         # Valence check (gradient-truncation contract; see
-        # utils.validate.check_vertex_valence). Cached per faces shape: one
-        # host bincount on first use, free afterwards. Callers that mutate
-        # topology IN PLACE at a fixed shape should re-check themselves.
-        vkey = (faces.shape, self.config.max_vertex_valence)
-        if vkey not in self._valence_checked:
-            if check_vertex_valence(faces, self.config.max_vertex_valence):
-                self._valence_checked.add(vkey)
+        # utils.validate.check_vertex_valence). Memoized on object identity
+        # + content digest, so swapping in a DIFFERENT same-shape topology
+        # re-validates while the steady-state cost is zero. Callers that
+        # mutate the faces buffer IN PLACE should re-check themselves.
+        valence_cache.check(faces, self.config.max_vertex_valence)
+        # Host-precomputed vertex order (cached per topology): turns the
+        # backward's 3F-row sorts into fixed gathers when enabled.
+        vperm, svids = (static_vertex_order(faces)
+                        if self.config.vertex_sort_mode == "static"
+                        else (None, None))
 
         fwd = self._get_fwd(int(patch_width), int(patch_height),
                             float(aa_temperature))
@@ -139,6 +143,8 @@ class Renderer:
             batch_patch_min,
             self.ray_o,
             self.ray_d,
+            vperm,
+            svids,
         )
         self.last_aux = aux
         if self.config.warn_on_overflow:

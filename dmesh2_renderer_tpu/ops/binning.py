@@ -172,7 +172,12 @@ def _tri_tile_overlaps(aa_flat, patch_min_flat, tile_x, tile_y):
         cy = y0 + jnp.where(ex > 0, float(TILE_Y), 0.0)
         cx = x0 + jnp.where(ey > 0, 0.0, float(TILE_X))
         smax = ex * (cy - ay[e]) - ey * (cx - ax[e])
-        ok = smax >= 0.0 if ok is None else ok & (smax >= 0.0)
+        # Keep the cull strictly conservative under f32 rounding: the edge
+        # function's absolute error is O(eps_f32 * |edge| * screen_extent);
+        # a slack of 1e-3 px * |edge| dwarfs that while staying far below
+        # any slot that could produce nonzero pixel coverage.
+        slack = -1e-3 * (jnp.abs(ex) + jnp.abs(ey))
+        ok = smax >= slack if ok is None else ok & (smax >= slack)
     return ok
 
 

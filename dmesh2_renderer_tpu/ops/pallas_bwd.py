@@ -475,6 +475,10 @@ def scatter_entry_grads(
                                # contributing_mask); None = keep everything
     compact_capacity: int | None = None,  # static post-sort prefix length
     sort_mode: str = "payload",  # "payload" | "iota" (see sort comment)
+    vperm=None,                # (3F,) int32 host-precomputed stable argsort
+                               # of the corner vertex ids (utils/segments.
+                               # static_vertex_order); None = runtime sort
+    svids=None,                # (3F,) int32 vertex ids in vperm order
 ):
     """Deterministic reduction of per-entry grads to the six input tensors.
 
@@ -618,10 +622,18 @@ def scatter_entry_grads(
         ],
         axis=0,
     )                                                          # (3F, 6 + B)
-    vids = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
-    sv, contrib_pieces = sort_rows_by_key(
-        vids, [contrib[:, i] for i in range(6 + n_batch)]
-    )
+    if vperm is not None:
+        # Static topology order: the runtime 3F-row payload sort collapses
+        # to one fixed row-gather (faces never changes across steps;
+        # utils/segments.static_vertex_order docstring).
+        sv = svids
+        g = contrib[vperm]
+        contrib_pieces = [g[:, s:s + 15] for s in range(0, 6 + n_batch, 15)]
+    else:
+        vids = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+        sv, contrib_pieces = sort_rows_by_key(
+            vids, [contrib[:, i] for i in range(6 + n_batch)]
+        )
     vaccs = [_segmented_prefix_sum(p, sv, min(3 * f, max_vertex_valence))
              for p in contrib_pieces]
     d_vert_all = _segment_tails(vaccs, sv, n_verts)            # (P, 6 + B)

@@ -60,8 +60,15 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
 
         rasterize(verts, verts_color, faces_opacity, verts_ndc,
                   faces_intense, aa_face_verts,
-                  faces, background, patch_min, ray_o_cam, ray_d)
+                  faces, background, patch_min, ray_o_cam, ray_d,
+                  vperm=None, svids=None)
         -> (color, depth_raw, final_t, RasterAux)
+
+    ``vperm``/``svids`` (optional) are the host-precomputed static vertex
+    order from ``utils.segments.static_vertex_order(faces)``; when given,
+    the backward's face->vertex reduction gathers through the fixed
+    permutation instead of running a 3F-row sort
+    (RasterConfig.vertex_sort_mode="static").
 
     with gradients defined for the first six arguments, matching the six
     kernel gradients of the reference (render.cu:313-318, 372). ``final_t``
@@ -94,7 +101,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
 
     def rasterize_fwd_impl(verts, verts_color, faces_opacity, verts_ndc,
                            faces_intense, aa_face_verts, faces, background,
-                           patch_min, ray_o_cam, ray_d):
+                           patch_min, ray_o_cam, ray_d, vperm, svids):
         if not config.use_pallas:
             color, depth, ref_aux = ref_ops.render_reference(
                 verts, faces, verts_color, faces_opacity, verts_ndc,
@@ -124,22 +131,26 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
 
     @jax.custom_vjp
     def rasterize(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
-                  aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d):
+                  aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
+                  vperm=None, svids=None):
         out, _ = rasterize_fwd_impl(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
+            vperm, svids,
         )
         return out
 
     def fwd(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
-            aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d):
+            aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
+            vperm=None, svids=None):
         out, residuals = rasterize_fwd_impl(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
+            vperm, svids,
         )
         saved = (residuals, verts, verts_color, faces_opacity, verts_ndc,
                  faces_intense, aa_face_verts, faces, background, patch_min,
-                 ray_o_cam, ray_d)
+                 ray_o_cam, ray_d, vperm, svids)
         return out, saved
 
     def bwd(saved, cotangents):
@@ -147,7 +158,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
         g_final_t = jnp.zeros_like(g_depth) if g_final_t is None else g_final_t
         (residuals, verts, verts_color, faces_opacity, verts_ndc,
          faces_intense, aa_face_verts, faces, background, patch_min,
-         ray_o_cam, ray_d) = saved
+         ray_o_cam, ray_d, vperm, svids) = saved
 
         if not config.use_pallas:
             def f(v, c, o, nz, it, aa):
@@ -161,7 +172,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             _, vjp = jax.vjp(f, verts, verts_color, faces_opacity, verts_ndc,
                              faces_intense, aa_face_verts)
             d6 = vjp((g_color, g_depth, g_final_t))
-            return (*d6, None, None, None, None, None)
+            return (*d6, None, None, None, None, None, None, None)
 
         (stream, entry_bf, starts, counts, giant_ids, nc_tile,
          color, depth, final_t, prev_t) = residuals
@@ -198,10 +209,11 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             giant_seg_len=config.max_tiles_per_face + kt2,
             keep=keep, compact_capacity=config.grad_compact_capacity,
             sort_mode=config.grad_sort_mode,
+            vperm=vperm, svids=svids,
         )
         d_vndc = jnp.zeros_like(verts_ndc).at[..., 2].set(d_vndc_z)
         return (d_verts, d_vcolor, d_op, d_vndc, d_int, d_aa,
-                None, None, None, None, None)
+                None, None, None, None, None, None, None)
 
     rasterize.defvjp(fwd, bwd)
     return rasterize

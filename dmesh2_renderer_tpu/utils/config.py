@@ -126,8 +126,29 @@ class RasterConfig:
     # worthwhile with grad_compact_capacity set). Per-site measurement
     # decides (benchmarks/micro_scatter_stages.py).
     grad_sort_mode: str = "payload"
+    # How face->shared-vertex gradient reductions order their 3F rows:
+    # "sort" runs the runtime payload sort (utils/segments.sort_rows_by_key);
+    # "static" replaces it with a host-precomputed stable permutation of the
+    # concrete ``faces`` (utils/segments.static_vertex_order) -- one fixed
+    # row-gather instead of an O(3F log 3F) device sort every backward, at
+    # both reduction sites (ops/pallas_bwd.scatter_entry_grads and
+    # geometry.face_aa_verts_ccw). Falls back to "sort" when faces reaches
+    # the op as a tracer with no precomputed order plumbed through.
+    vertex_sort_mode: str = "sort"
     # Renderer.forward checks the overflow counter after each call and warns
     # when binning truncated instances (missing geometry). Costs one scalar
     # device->host readback per call; set False in throughput-critical loops
     # and check Renderer.last_aux yourself.
     warn_on_overflow: bool = True
+
+    def __post_init__(self):
+        if self.grad_sort_mode not in ("payload", "iota"):
+            raise ValueError(
+                f"grad_sort_mode must be 'payload' or 'iota', got "
+                f"{self.grad_sort_mode!r}"
+            )
+        if self.vertex_sort_mode not in ("sort", "static"):
+            raise ValueError(
+                f"vertex_sort_mode must be 'sort' or 'static', got "
+                f"{self.vertex_sort_mode!r}"
+            )

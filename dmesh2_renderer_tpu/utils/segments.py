@@ -11,6 +11,52 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+_vertex_order_cache: dict = {"by_id": {}, "by_digest": {}}
+
+
+def static_vertex_order(faces):
+    """Host-precomputed stable sort order of the 3F face-corner vertex ids.
+
+    Every face->shared-vertex gradient reduction sorts the SAME 3F-row key
+    vector ``concat(faces[:,0], faces[:,1], faces[:,2])`` at runtime -- but
+    ``faces`` is topology, fixed across training steps and concrete at the
+    eager API boundary. Precomputing ``argsort`` on the host turns each
+    runtime 3F-row payload sort into a fixed permutation row-gather
+    (RasterConfig.vertex_sort_mode="static"; A/B per-site on chip --
+    benchmarks/micro_scatter_stages.py v2/v3 vs s6).
+
+    Returns (vperm (3F,), sorted_vids (3F,)) int32 jnp arrays, or
+    (None, None) when ``faces`` is a tracer (inside jit with faces as an
+    argument -- callers fall back to the runtime sort). Results are memoized
+    on object identity with a content-digest backstop, like the valence
+    check (utils.validate).
+    """
+    import hashlib
+    import weakref
+
+    idkey = id(faces)
+    ent = _vertex_order_cache["by_id"].get(idkey)
+    if ent is not None and ent[0]() is faces:
+        return ent[1]
+    try:
+        f = np.asarray(faces)
+    except Exception:  # tracer
+        return None, None
+    digest = (f.shape, hashlib.sha1(np.ascontiguousarray(f).tobytes()).hexdigest())
+    out = _vertex_order_cache["by_digest"].get(digest)
+    if out is None:
+        vids = np.concatenate([f[:, 0], f[:, 1], f[:, 2]]).astype(np.int32)
+        perm = np.argsort(vids, kind="stable").astype(np.int32)
+        out = (jnp.asarray(perm), jnp.asarray(vids[perm]))
+        _vertex_order_cache["by_digest"][digest] = out
+    try:
+        _vertex_order_cache["by_id"][idkey] = (weakref.ref(faces), out)
+    except TypeError:
+        pass
+    return out
 
 
 def sort_rows_by_key(keys, cols, max_payloads: int = 15):

@@ -158,3 +158,31 @@ def test_vertex_valence_guard():
     np.testing.assert_allclose(np.asarray(g16), np.asarray(g64),
                                rtol=1e-5, atol=1e-6)
     assert np.abs(np.asarray(g16)[0]).max() > 0.0  # pole actually has grads
+
+
+def test_valence_cache_revalidates_same_shape_swap():
+    """Swapping in a DIFFERENT topology at the same (F, 3) shape must re-run
+    the valence guard (advisor round-3: the old shape-keyed cache skipped it
+    and silently truncated gradients)."""
+    import pytest
+
+    from dmesh2_renderer_tpu.utils.validate import _ValenceCache
+
+    cache = _ValenceCache()
+    ok = np.asarray([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32)  # valence 1
+    bad = np.asarray([[0, 1, 2], [0, 2, 3], [0, 3, 1]], np.int32)  # valence 3
+    assert cache.check(ok, 2)
+    assert cache.check(ok, 2)  # identity fast path
+    with pytest.raises(ValueError, match="max_vertex_valence"):
+        cache.check(bad, 2)    # same shape, different content: re-validated
+    # A copy with identical content hits the digest cache (no raise, passes).
+    assert cache.check(ok.copy(), 2)
+
+
+def test_grad_sort_mode_validated():
+    import pytest
+
+    with pytest.raises(ValueError, match="grad_sort_mode"):
+        RasterConfig(grad_sort_mode="ioat")
+    RasterConfig(grad_sort_mode="iota")  # valid modes construct fine
+    RasterConfig(grad_sort_mode="payload")

@@ -171,3 +171,56 @@ def test_scatter_sort_modes_agree():
     for a, b_ in zip(out["payload"], out["iota"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-6, atol=2e-6)
+
+
+def test_scatter_static_vertex_order_agrees():
+    """vertex_sort_mode="static" (host-precomputed permutation gather) must
+    reduce to the same six gradients as the runtime 3F-row payload sort --
+    both orders feed permutation-invariant per-segment sums."""
+    from dmesh2_renderer_tpu.utils.segments import static_vertex_order
+
+    rng = np.random.default_rng(7)
+    f, b, r = 97, 2, 1024
+    faces = jnp.asarray(rng.integers(0, 60, (f, 3)).astype(np.int32))
+    bf = b * f
+    entry = jnp.asarray(rng.integers(0, bf, (r,)).astype(np.int32))
+    recs = jnp.asarray(rng.normal(size=(r, 32)).astype(np.float32))
+    vperm, svids = static_vertex_order(faces)
+    base = jax.jit(lambda g, e: scatter_entry_grads(
+        g, e, faces, 60, b, max_tiles_per_face=16))(recs, entry)
+    stat = jax.jit(lambda g, e, p, s: scatter_entry_grads(
+        g, e, faces, 60, b, max_tiles_per_face=16,
+        vperm=p, svids=s))(recs, entry, vperm, svids)
+    for a, b_ in zip(base, stat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-6, atol=2e-6)
+
+
+def test_static_vertex_order_end_to_end_grads():
+    """Full functional-path gradients with vertex_sort_mode="static" match
+    the default runtime-sort mode (exercises BOTH reduction sites: the
+    scatter and geometry.face_aa_verts_ccw's backward)."""
+    from dmesh2_renderer_tpu.functional import render as frender
+    from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
+
+    verts, faces = icosphere(1)
+    mv, proj = orbit_cameras(1)
+    f = faces.shape[0]
+
+    def loss(v, cfg):
+        c, d, _ = frender(v, jnp.asarray(faces), jnp.abs(v) % 1.0,
+                          jnp.full((f,), 0.6, jnp.float32),
+                          jnp.ones((1, f), jnp.float32), jnp.asarray(mv),
+                          jnp.asarray(proj), jnp.zeros((3,), jnp.float32),
+                          32, 32, 1.0, cfg)
+        return jnp.sum(c * c) + jnp.sum(d)
+
+    from dmesh2_renderer_tpu.utils.config import RasterConfig
+    cfg_sort = RasterConfig(binning_capacity=4096, interpret=True)
+    cfg_stat = RasterConfig(binning_capacity=4096, interpret=True,
+                            vertex_sort_mode="static")
+    v = jnp.asarray(verts)
+    g_sort = jax.grad(lambda x: loss(x, cfg_sort))(v)
+    g_stat = jax.grad(lambda x: loss(x, cfg_stat))(v)
+    np.testing.assert_allclose(np.asarray(g_sort), np.asarray(g_stat),
+                               rtol=2e-6, atol=2e-6)
