@@ -99,6 +99,10 @@ def build_step(width, height, n_faces, capacity, tau):
         # triangles never touch (identical image; every R-sized stage
         # shrinks).
         exact_tile_cull=True,
+        # A/B knobs for the on-chip decision tree (benchmarks/tpu_queue.sh):
+        # flip without code edits, adopt as defaults once measured faster.
+        grad_sort_mode=os.environ.get("BENCH_GRAD_SORT_MODE", "payload"),
+        vertex_sort_mode=os.environ.get("BENCH_VERTEX_SORT_MODE", "sort"),
         interpret=jax.default_backend() == "cpu",
     )
 

@@ -40,6 +40,11 @@ def main():
                        num_giant_faces=16384, giant_tiles=40,
                        grad_compact_capacity=None if small else 1 << 21,
                        exact_tile_cull=True,
+                       # Same A/B env knobs as bench.py (tpu_queue.sh 2b).
+                       grad_sort_mode=os.environ.get(
+                           "BENCH_GRAD_SORT_MODE", "payload"),
+                       vertex_sort_mode=os.environ.get(
+                           "BENCH_VERTEX_SORT_MODE", "sort"),
                        interpret=jax.default_backend() == "cpu")
 
     verts_np, faces_np = triangle_soup(n_faces, size=0.02)

@@ -30,8 +30,16 @@ DMESH2_TPU_TESTS=1 timeout 2700 python -m pytest tests/test_tpu_parity.py -q 2>&
 echo "=== 2. headline bench ==="
 BENCH_ITERS=5 BENCH_HEADLINE_ONLY=1 timeout 2400 python -u bench.py 2>&1 | grep -v Platform
 
+echo "=== 2b. headline A/B: iota grad sort + static vertex order ==="
+BENCH_GRAD_SORT_MODE=iota BENCH_VERTEX_SORT_MODE=static \
+  BENCH_ITERS=5 BENCH_HEADLINE_ONLY=1 timeout 2400 python -u bench.py 2>&1 | grep -v Platform
+
 echo "=== 3. micro_scatter_stages (scatter decomposition: iota vs payload, static vertex perm) ==="
 timeout 3600 python -u benchmarks/micro_scatter_stages.py 2>&1 | grep -v Platform
+
+echo "=== 3b. stage table, candidate config (iota + static vertex order) ==="
+BENCH_GRAD_SORT_MODE=iota BENCH_VERTEX_SORT_MODE=static \
+  PROF_ITERS=3 timeout 2400 python -u benchmarks/profile_stages.py 2>&1 | grep -v Platform
 
 echo "=== 4. micro_gradcols (blocked vs unblocked sort operands) ==="
 timeout 2400 python -u benchmarks/micro_gradcols.py 2>&1 | grep -v Platform

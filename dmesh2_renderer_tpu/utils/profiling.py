@@ -80,6 +80,12 @@ def profile_render(
     tau = float(aa_temperature)
     b = mv.shape[0]
     pm = jnp.zeros((b, 2), jnp.int32)
+    if cfg.vertex_sort_mode == "static":
+        from dmesh2_renderer_tpu.utils.segments import static_vertex_order
+
+        vperm, svids = static_vertex_order(faces)
+    else:
+        vperm, svids = None, None
 
     def say(name, ms):
         if verbose:
@@ -90,7 +96,7 @@ def profile_render(
             verts, mv, proj, width, height
         )
         aa_verts = G.face_aa_verts_ccw(verts_image, faces,
-                                       cfg.max_vertex_valence)
+                                       cfg.max_vertex_valence, vperm, svids)
         depth01, _, _, alive = ref_ops.face_depth01(verts_ndc, faces)
         return verts_ndc, aa_verts, depth01, alive
 
@@ -166,7 +172,7 @@ def profile_render(
             giant_ids=gid if cfg.num_giant_faces > 0 else None,
             giant_seg_len=cfg.max_tiles_per_face + kt2,
             keep=keep, compact_capacity=cfg.grad_compact_capacity,
-            sort_mode=cfg.grad_sort_mode)
+            sort_mode=cfg.grad_sort_mode, vperm=vperm, svids=svids)
 
     _, t_scatter = time_jitted(
         scatter_stage, grad_records, binning.entry_bf, binning.giant_ids,

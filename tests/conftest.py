@@ -24,3 +24,20 @@ import jax  # noqa: E402
 if not TPU_TESTS:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compile cache: the fast suite is compile-dominated (the
+# interpret-mode kernel graphs and the reference-compositor AD graphs take
+# tens of seconds each to compile and never change between runs). Measured
+# on this box: the worst single test drops 24.4s -> 7.6s once warm. The
+# cache key is the optimized HLO, so code changes re-compile exactly the
+# affected tests. CPU AOT loads print spurious machine-feature warnings
+# (string-set comparison includes XLA preference pseudo-features); harmless.
+if not TPU_TESTS:
+    cache_dir = os.environ.get(
+        "DMESH2_TEST_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_test_cache"),
+    )
+    if cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

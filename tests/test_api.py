@@ -135,7 +135,7 @@ def test_vertex_valence_guard():
                 jnp.full((n,), 0.7, jnp.float32),
                 jnp.ones((1, n), jnp.float32), jnp.asarray(mv),
                 jnp.asarray(proj), jnp.zeros((3,), jnp.float32),
-                48, 48, 1.0, cfg_low)
+                32, 32, 1.0, cfg_low)
 
     # With a sufficient cap, pole-vertex gradients agree with jax.grad of
     # the pure-XLA reference compositor.
@@ -150,7 +150,7 @@ def test_vertex_valence_guard():
                           jnp.full((n,), 0.7, jnp.float32),
                           jnp.ones((1, n), jnp.float32), jnp.asarray(mv),
                           jnp.asarray(proj), jnp.zeros((3,), jnp.float32),
-                          48, 48, 1.0, cfg)
+                          32, 32, 1.0, cfg)
         return jnp.sum(c) + jnp.sum(d)
 
     g16 = jax.grad(lambda v: loss(v, cfg_lo))(jnp.asarray(verts))

@@ -287,10 +287,10 @@ def test_exact_tile_cull_render_and_grads_unchanged():
     verts_np = verts_np + rng.normal(scale=1e-3, size=verts_np.shape).astype(
         np.float32)
     f = faces_np.shape[0]
-    mv, proj = orbit_cameras(2)
+    mv, proj = orbit_cameras(1)
     vc = jnp.asarray(rng.uniform(size=(verts_np.shape[0], 3)).astype(np.float32))
     fo = jnp.asarray(rng.uniform(0.3, 0.9, size=(f,)).astype(np.float32))
-    fi = jnp.ones((2, f), jnp.float32)
+    fi = jnp.ones((1, f), jnp.float32)
     bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
 
     def loss(v, c, o, cfg):

@@ -52,8 +52,11 @@ def _scene(width=32, height=32, b=2, seed=0):
      pytest.param(0.5, marks=pytest.mark.slow)],
 )
 def test_backward_matches_autodiff(tau):
-    width = height = 32
-    (verts, faces, vc, fo, verts_ndc, fi, tris, bg, pm, ray_o, ray_d, gc, gd) = _scene()
+    # 32x16 = a 2x1 tile grid per view x 2 views: tile-neighbor handling in
+    # x and the batch axis stay covered at half the interpret-mode walltime.
+    width, height = 32, 16
+    (verts, faces, vc, fo, verts_ndc, fi, tris, bg, pm, ray_o, ray_d, gc, gd) = _scene(
+        width=32, height=16)
 
     def loss(verts_, vc_, fo_, ndc_, fi_, aa_):
         color, depth, _ = render_reference(
@@ -129,7 +132,7 @@ def test_grad_compaction_matches_uncompacted():
 
     def loss(v, c, o, cfg):
         col, dep, _ = render(v, args[1], c, o, args[4], args[5], args[6],
-                             args[7], 48, 48, 1.0, cfg)
+                             args[7], 32, 32, 1.0, cfg)
         return jnp.sum(col * jnp.cos(col)) + jnp.sum(dep * 0.3)
 
     cfg_off = RasterConfig(binning_capacity=2048, interpret=True)

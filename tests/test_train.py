@@ -17,11 +17,11 @@ CFG = RasterConfig(binning_capacity=1 << 12, interpret=True)
 
 
 def test_trainer_checkpoint_resume(tmp_path):
-    b, hw = 8, 16  # interpret-mode walltime scales with tiles
+    b, hw = 4, 16  # interpret-mode walltime scales with tiles x views
     verts, faces = icosphere(0)
     mv, proj = orbit_cameras(b)
     f = faces.shape[0]
-    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
     ckpt = os.path.join(tmp_path, "state.npz")
 
     params = SceneParams(
