@@ -45,6 +45,8 @@ def main():
                            "BENCH_GRAD_SORT_MODE", "payload"),
                        vertex_sort_mode=os.environ.get(
                            "BENCH_VERTEX_SORT_MODE", "sort"),
+                       fwd_subchunks=int(os.environ.get(
+                           "BENCH_FWD_SUBCHUNKS", "1")),
                        interpret=jax.default_backend() == "cpu")
 
     verts_np, faces_np = triangle_soup(n_faces, size=0.02)

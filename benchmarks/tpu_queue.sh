@@ -34,6 +34,10 @@ echo "=== 2b. headline A/B: iota grad sort + static vertex order ==="
 BENCH_GRAD_SORT_MODE=iota BENCH_VERTEX_SORT_MODE=static \
   BENCH_ITERS=5 BENCH_HEADLINE_ONLY=1 timeout 2400 python -u bench.py 2>&1 | grep -v Platform
 
+echo "=== 2c. headline A/B: fwd_subchunks=2 (piece-granular early exit) ==="
+BENCH_FWD_SUBCHUNKS=2 \
+  BENCH_ITERS=5 BENCH_HEADLINE_ONLY=1 timeout 2400 python -u bench.py 2>&1 | grep -v Platform
+
 echo "=== 3. micro_scatter_stages (scatter decomposition: iota vs payload, static vertex perm) ==="
 timeout 3600 python -u benchmarks/micro_scatter_stages.py 2>&1 | grep -v Platform
 

@@ -268,6 +268,7 @@ def _fwd_kernel(
     grid_y: int,
     chunk: int,
     aa_temperature: float,
+    subchunks: int = 1,
 ):
     t = pl.program_id(0)
     tiles_per_batch = grid_x * grid_y
@@ -296,13 +297,19 @@ def _fwd_kernel(
     oz = ray_o_ref[3 * b + 2]
 
     nblocks = pl.cdiv(count + h0, chunk)
+    # The loop walks chunk/subchunks-entry PIECES of each 128-entry block:
+    # the whole-tile early exit and the tile-tail cutoff then act at piece
+    # granularity, trimming the ~1.5x pair overshoot of full blocks
+    # (docs/DESIGN.md roofline, lever 2). DMA stays whole-block.
+    sub = chunk // subchunks
+    nsteps = pl.cdiv(count + h0, sub)
 
-    # Double-buffered stream DMA: block i+1 is in flight while block i is
+    # Double-buffered stream DMA: block k+1 is in flight while block k is
     # composited (the TPU analogue of the reference's two-phase shared-mem
     # staging, forward.cu:255-304).
-    def get_dma(slot, i):
+    def get_dma(slot, k):
         return pltpu.make_async_copy(
-            stream_ref.at[blk0 + i], buf_ref.at[slot], sem.at[slot]
+            stream_ref.at[blk0 + k], buf_ref.at[slot], sem.at[slot]
         )
 
     @pl.when(nblocks > 0)
@@ -311,17 +318,32 @@ def _fwd_kernel(
 
     def chunk_body(state):
         i, t_run, pt_run, cr, cg, cb, cd, nc = state
-        slot = jax.lax.rem(i, 2)
+        kb = i // subchunks           # block index
+        part = i - kb * subchunks     # piece within the block
+        slot = jax.lax.rem(kb, 2)
 
-        @pl.when(i + 1 < nblocks)
+        @pl.when((part == 0) & (kb + 1 < nblocks))
         def _():
-            get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+            get_dma(jax.lax.rem(kb + 1, 2), kb + 1).start()
 
-        get_dma(slot, i).wait()
-        rank0 = i * chunk - h0
+        @pl.when(part == 0)
+        def _():
+            get_dma(slot, kb).wait()
+        rank0 = i * sub - h0
 
+        buf = buf_ref[slot]
+        if subchunks == 1:
+            piece = buf
+        else:
+            # Static lane slices selected by the (scalar) piece index:
+            # Mosaic has no dynamic lane slicing, and the selects are cheap
+            # next to the per-piece math.
+            piece = buf[:, 0:sub]
+            for j in range(1, subchunks):
+                piece = jnp.where(part == j, buf[:, j * sub:(j + 1) * sub],
+                                  piece)
         q = chunk_face_quantities(
-            buf_ref[slot].T, rank0, count, rdx, rdy, rdz, ox, oy, oz,
+            piece.T, rank0, count, rdx, rdy, rdz, ox, oy, oz,
             px0, py0, aa_temperature,
         )
         tb, active, _a_eff, w, t_out = blend_scan(q.passes, q.alpha, t_run)
@@ -344,7 +366,7 @@ def _fwd_kernel(
 
     def chunk_cond(state):
         i, t_run = state[0], state[1]
-        return (i < nblocks) & (jnp.max(t_run) >= T_EPS)
+        return (i < nsteps) & (jnp.max(t_run) >= T_EPS)
 
     zeros = jnp.zeros((1, TILE_PIXELS), dtype=jnp.float32)
     ones = jnp.ones((1, TILE_PIXELS), dtype=jnp.float32)
@@ -352,11 +374,16 @@ def _fwd_kernel(
         chunk_cond, chunk_body, (0, ones, ones, zeros, zeros, zeros, zeros, zeros)
     )
 
-    # Early exit leaves block i_end's prefetch in flight; drain it so the
-    # semaphore is clean for the next grid step (scratch persists).
-    @pl.when(i_end < nblocks)
+    # Early exit can leave one block's prefetch in flight; drain it so the
+    # semaphore is clean for the next grid step (scratch persists). The last
+    # WAITED block is (i_end-1)//subchunks; the last STARTED prefetch is one
+    # past it (started at that block's part-0 step); i_end == 0 means only
+    # the pre-loop prefetch of block 0 is outstanding.
+    drain = jnp.where(i_end == 0, 0, (i_end - 1) // subchunks + 1)
+
+    @pl.when(drain < nblocks)
     def _():
-        get_dma(jax.lax.rem(i_end, 2), i_end).wait()
+        get_dma(jax.lax.rem(drain, 2), drain).wait()
 
     # Background composite (forward.cu:427-428).
     out_ref[0, :, :] = jnp.concatenate(
@@ -409,7 +436,8 @@ def untile(packed_rows, b, h, w, grid_x, grid_y):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patch_width", "patch_height", "aa_temperature", "chunk", "interpret"),
+    static_argnames=("patch_width", "patch_height", "aa_temperature", "chunk",
+                     "interpret", "subchunks"),
 )
 def composite_forward(
     face_stream,   # (NB, 32, 128) field-major blocks (binning.block_stream)
@@ -424,6 +452,7 @@ def composite_forward(
     aa_temperature: float,
     chunk: int = 128,
     interpret: bool = False,
+    subchunks: int = 1,
 ):
     """Run the forward compositor. Returns (color, depth, final_T, prev_T,
     n_contrib, nc_tile) -- the first five shaped (B, H, W[, 3]); nc_tile is
@@ -451,6 +480,7 @@ def composite_forward(
         grid_y=gy,
         chunk=chunk,
         aa_temperature=aa_temperature,
+        subchunks=subchunks,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -64,18 +64,18 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
                   vperm=None, svids=None)
         -> (color, depth_raw, final_t, RasterAux)
 
-    ``vperm``/``svids`` (optional) are the host-precomputed static vertex
-    order from ``utils.segments.static_vertex_order(faces)``; when given,
-    the backward's face->vertex reduction gathers through the fixed
-    permutation instead of running a 3F-row sort
-    (RasterConfig.vertex_sort_mode="static").
-
     with gradients defined for the first six arguments, matching the six
     kernel gradients of the reference (render.cu:313-318, 372). ``final_t``
     (the per-pixel exit transmittance) is a differentiable output beyond the
     reference's surface: it is what makes depth-slab face-parallel
     compositing possible (parallel/face_parallel.py), and its cotangent
     rides the backward kernel's existing -T/(1-a) background-term path.
+
+    ``vperm``/``svids`` (optional) are the host-precomputed static vertex
+    order from ``utils.segments.static_vertex_order(faces)``; when given,
+    the backward's face->vertex reduction gathers through the fixed
+    permutation instead of running a 3F-row sort
+    (RasterConfig.vertex_sort_mode="static").
     """
     tau = float(aa_temperature)
 
@@ -119,6 +119,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
             background, patch_min, patch_width, patch_height, tau,
             chunk=config.face_chunk, interpret=config.interpret,
+            subchunks=config.fwd_subchunks,
         )
         n_contrib_total = jnp.sum(
             jnp.minimum(binning.tile_counts, jnp.maximum(nc_tile, 0)))

@@ -91,6 +91,14 @@ class RasterConfig:
     # Renderer pipeline uses it; the LayeredRenderer peel always bins by
     # rect (its hit test is 3-D, not screen-space).
     exact_tile_cull: bool = False
+    # Forward-kernel sub-chunk factor (1, 2, or 4): evaluate each 128-entry
+    # stream block in ``fwd_subchunks`` pieces so the whole-tile early exit
+    # and the tile-tail cutoff act at 128/fwd_subchunks-entry granularity.
+    # The headline's mean contributing prefix is ~130 entries/tile, so full
+    # 128-blocks overshoot the exit by ~1.5x in (face,pixel) pairs
+    # (docs/DESIGN.md roofline, lever 2); finer pieces trade that masked
+    # math for more loop steps. DMA stays per 128-block. A/B on chip.
+    fwd_subchunks: int = 1
     # Use the Pallas kernels; False falls back to the pure-XLA reference
     # compositor (slow; used by tests and as executable documentation).
     use_pallas: bool = True
@@ -151,4 +159,8 @@ class RasterConfig:
             raise ValueError(
                 f"vertex_sort_mode must be 'sort' or 'static', got "
                 f"{self.vertex_sort_mode!r}"
+            )
+        if self.fwd_subchunks not in (1, 2, 4):
+            raise ValueError(
+                f"fwd_subchunks must be 1, 2, or 4, got {self.fwd_subchunks!r}"
             )

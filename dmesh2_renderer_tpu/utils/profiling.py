@@ -126,7 +126,8 @@ def profile_render(
     fwd_out, t_fwd = time_jitted(
         lambda s, st, ct: composite_forward(
             s, st, ct, ray_o_cam, ray_d, background, pm, width, height, tau,
-            chunk=cfg.face_chunk, interpret=cfg.interpret),
+            chunk=cfg.face_chunk, interpret=cfg.interpret,
+            subchunks=cfg.fwd_subchunks),
         stream, binning.tile_starts, binning.tile_counts, iters=iters)
     color, depth, final_t, prev_t, _, nc_tile = fwd_out
     say("composite_forward", t_fwd)

@@ -54,3 +54,38 @@ def test_pallas_forward_matches_reference(tau):
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth), atol=5e-6)
     np.testing.assert_allclose(np.asarray(ft), np.asarray(ref_aux.final_t), atol=5e-6)
     np.testing.assert_allclose(np.asarray(pt), np.asarray(ref_aux.final_prev_t), atol=5e-6)
+
+
+def test_fwd_subchunks_match_full_blocks():
+    """fwd_subchunks in {2, 4} must reproduce the full-block forward to
+    reassociation noise: piece boundaries only re-chunk the prefix-product
+    blend; the early exit acts at piece granularity but can only skip faces
+    whose per-pixel active mask is already False (T < T_EPS is monotone)."""
+    from dmesh2_renderer_tpu.functional import render
+    from dmesh2_renderer_tpu.utils.config import RasterConfig
+    from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
+
+    verts_np, faces_np = icosphere(1)
+    rng = np.random.default_rng(11)
+    verts_np = verts_np + rng.normal(scale=1e-3, size=verts_np.shape).astype(
+        np.float32)
+    f = faces_np.shape[0]
+    mv, proj = orbit_cameras(1)
+    args = (jnp.asarray(verts_np), jnp.asarray(faces_np),
+            jnp.asarray(rng.uniform(size=(verts_np.shape[0], 3)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0.5, 0.95, size=(f,)).astype(np.float32)),
+            jnp.ones((1, f), jnp.float32), jnp.asarray(mv), jnp.asarray(proj),
+            jnp.asarray([0.1, 0.2, 0.3], jnp.float32))
+
+    out = {}
+    for sc in (1, 2, 4):
+        cfg = RasterConfig(binning_capacity=2048, interpret=True,
+                           fwd_subchunks=sc)
+        c, d, aux = render(*args, 32, 32, 1.0, cfg)
+        out[sc] = (np.asarray(c), np.asarray(d),
+                   int(aux.num_grad_contributing))
+    for sc in (2, 4):
+        np.testing.assert_allclose(out[sc][0], out[1][0], atol=2e-6)
+        np.testing.assert_allclose(out[sc][1], out[1][1], atol=2e-6)
+        # nc_tile (and so the contributing count) is chunking-invariant.
+        assert out[sc][2] == out[1][2]

@@ -103,3 +103,22 @@ def test_onchip_peel_matches_interpret_mode():
     ).generate(*args)
     np.testing.assert_array_equal(np.asarray(ln), np.asarray(li))
     np.testing.assert_array_equal(np.asarray(cn), np.asarray(ci))
+
+
+def test_onchip_fwd_subchunks_matches_full_blocks():
+    """Mosaic lowering of the piece-granular forward (fwd_subchunks=2:
+    scalar-selected static lane slices + part-gated DMA) vs the full-block
+    kernel on the real chip. Images and gradients must agree to
+    reassociation noise (the interpret-mode equivalence is
+    test_pallas_fwd.test_fwd_subchunks_match_full_blocks)."""
+    s = _scene()
+    col1, dep1, g1 = _run(s, RasterConfig(binning_capacity=1 << 14))
+    col2, dep2, g2 = _run(
+        s, RasterConfig(binning_capacity=1 << 14, fwd_subchunks=2)
+    )
+    np.testing.assert_allclose(np.asarray(col2), np.asarray(col1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dep2), np.asarray(dep1), atol=1e-5)
+    for name, a, b in zip(("verts", "color", "op"), g2, g1):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        err = float(jnp.abs(a - b).max())
+        assert err < 1e-4 * scale, (name, err, scale)
