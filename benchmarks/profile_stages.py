@@ -47,6 +47,7 @@ def main():
                            "BENCH_VERTEX_SORT_MODE", "sort"),
                        fwd_subchunks=int(os.environ.get(
                            "BENCH_FWD_SUBCHUNKS", "1")),
+                       prep_mode=os.environ.get("BENCH_PREP_MODE", "split"),
                        interpret=jax.default_backend() == "cpu")
 
     verts_np, faces_np = triangle_soup(n_faces, size=0.02)

@@ -45,13 +45,20 @@ def render_partial(
     valence_cache.check(faces, config.max_vertex_valence)
     vperm, svids = (static_vertex_order(faces)
                     if config.vertex_sort_mode == "static" else (None, None))
-    aa_verts = G.face_aa_verts_ccw(verts_image, faces,
-                                   config.max_vertex_valence, vperm, svids)
+    if config.prep_mode == "fused":
+        # AA corners ride the rasterizer's consolidated corner gather
+        # (RasterConfig.prep_mode docstring).
+        aa_verts, img = None, verts_image
+    else:
+        aa_verts = G.face_aa_verts_ccw(verts_image, faces,
+                                       config.max_vertex_valence, vperm, svids)
+        img = None
     patch_min = jnp.zeros((b, 2), jnp.int32)
     rasterize = make_rasterizer(width, height, float(aa_temperature), config)
     return rasterize(
         verts, verts_color, faces_opacity, verts_ndc, faces_intense, aa_verts,
         faces, background, patch_min, ray_o[:, 0, 0, :], ray_d, vperm, svids,
+        img,
     )
 
 

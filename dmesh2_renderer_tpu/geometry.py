@@ -240,14 +240,24 @@ def _face_aa_verts_fwd(verts_image, faces, max_vertex_valence: int = 256,
     return out, (neg, faces, verts_image.shape[1], vperm, svids)
 
 
-def _face_aa_verts_bwd(max_vertex_valence, res, g):
+def aa_cotangent_to_verts_image(g, neg, faces, num_verts, max_vertex_valence,
+                                vperm=None, svids=None):
+    """Reduce an AA-corner cotangent (B, F, 3, 2) onto d verts_image (B, P, 2).
+
+    The shared backward of the screen-space AA corner gather: un-swap the
+    CCW reorder (``neg`` is the swap mask from the forward), then run the
+    valence-bounded sort + segmented-scan face->vertex reduction (the TPU
+    replacement for the reference's torch scatter-add on this path,
+    ``__init__.py:332-344``). Used by both :func:`face_aa_verts_ccw`'s VJP
+    (RasterConfig.prep_mode="split") and the rasterize op's fused-prep
+    backward (prep_mode="fused", ops/rasterize.py).
+    """
     from dmesh2_renderer_tpu.utils.segments import (
         segment_tails,
         segmented_prefix_sum,
         sort_rows_by_key,
     )
 
-    neg, faces, p, vperm, svids = res
     b, f = neg.shape
     # Un-swap the cotangent (the CCW reorder is its own inverse).
     g0 = g[..., 0, :]
@@ -270,8 +280,15 @@ def _face_aa_verts_bwd(max_vertex_valence, res, g):
         )
     accs = [segmented_prefix_sum(cp, sv, min(3 * f, max_vertex_valence))
             for cp in contrib_pieces]
-    d_img = segment_tails(accs, sv, p)                # (P, 2B)
-    return d_img.reshape(p, b, 2).transpose(1, 0, 2), None, None, None
+    d_img = segment_tails(accs, sv, num_verts)        # (P, 2B)
+    return d_img.reshape(num_verts, b, 2).transpose(1, 0, 2)
+
+
+def _face_aa_verts_bwd(max_vertex_valence, res, g):
+    neg, faces, p, vperm, svids = res
+    d_img = aa_cotangent_to_verts_image(g, neg, faces, p, max_vertex_valence,
+                                        vperm, svids)
+    return d_img, None, None, None
 
 
 face_aa_verts_ccw.defvjp(_face_aa_verts_fwd, _face_aa_verts_bwd)

@@ -71,10 +71,16 @@ class Renderer:
                 verts_ndc, verts_image = G.compute_verts_ndc_image(
                     verts, b_mv, b_proj, width, height
                 )
-                aa_verts = G.face_aa_verts_ccw(
-                    verts_image, faces, self.config.max_vertex_valence,
-                    vperm, svids,
-                )
+                if self.config.prep_mode == "fused":
+                    # AA corners ride the rasterizer's consolidated corner
+                    # gather (RasterConfig.prep_mode docstring).
+                    aa_verts, img = None, verts_image
+                else:
+                    aa_verts = G.face_aa_verts_ccw(
+                        verts_image, faces, self.config.max_vertex_valence,
+                        vperm, svids,
+                    )
+                    img = None
                 ray_o, ray_d = G.select_rays(
                     ray_o_full, ray_d_full, batch_mvp_idx, batch_patch_min,
                     pw, ph,
@@ -83,6 +89,7 @@ class Renderer:
                     verts, verts_color, faces_opacity, verts_ndc,
                     faces_intense, aa_verts, faces, background,
                     batch_patch_min, ray_o[:, 0, 0, :], ray_d, vperm, svids,
+                    img,
                 )
                 return color, 1.0 - (depth_raw + 1.0) / 2.0, aux
 

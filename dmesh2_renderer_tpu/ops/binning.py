@@ -412,7 +412,8 @@ REC_AA = 23
 _TABLE_SPLITS = (16, 8, 5)
 
 
-def gather_face_corners(verts, verts_color, verts_ndc, faces):
+def gather_face_corners(verts, verts_color, verts_ndc, faces,
+                        verts_image=None):
     """ONE consolidated per-corner row gather for the whole pipeline.
 
     Builds a per-vertex table [xyz | rgb | ndc_z per batch] and gathers all
@@ -422,18 +423,40 @@ def gather_face_corners(verts, verts_color, verts_ndc, faces):
     gathers (verts, colors, z for binning, z for records) the pipeline
     otherwise issues. Batches beyond width 16 chunk the z columns.
 
-    Returns (v9 (F, 9), c9 (F, 9), z (B, F, 3)).
+    With ``verts_image`` (B, P, 2) given (RasterConfig.prep_mode="fused"),
+    the screen-space AA corner columns ride the SAME gather -- removing the
+    separate 3F-row gather ``geometry.face_aa_verts_ccw`` otherwise issues
+    (benchmarks/micro_prep.py candidate p3).
+
+    Returns (v9 (F, 9), c9 (F, 9), z (B, F, 3)[, fv_img (B, F, 3, 2)]).
     """
     b = verts_ndc.shape[0]
     f = faces.shape[0]
     vid = faces.reshape(-1)
     zcols = jnp.swapaxes(verts_ndc[..., 2], 0, 1)                # (P, B)
-    if 6 + b <= 16:
+    extra = 3 * b if verts_image is not None else b
+    if 6 + extra <= 16:
+        cols = [verts, verts_color, zcols]
+        if verts_image is not None:
+            cols.append(jnp.transpose(verts_image, (1, 0, 2))
+                        .reshape(-1, 2 * b))                     # (P, 2B)
+        vtab = jnp.concatenate(cols, axis=1)
+        fv = vtab[vid].reshape(f, 3, 6 + extra)
+        v9 = fv[:, :, 0:3].reshape(f, 9)
+        c9 = fv[:, :, 3:6].reshape(f, 9)
+        z = jnp.transpose(fv[:, :, 6:6 + b], (2, 0, 1))          # (B, F, 3)
+        if verts_image is None:
+            return v9, c9, z
+        fv_img = jnp.transpose(
+            fv[:, :, 6 + b:].reshape(f, 3, b, 2), (2, 0, 1, 3)
+        )                                                        # (B, F, 3, 2)
+        return v9, c9, z, fv_img
+    if b <= 10:
         vtab = jnp.concatenate([verts, verts_color, zcols], axis=1)
         fv = vtab[vid].reshape(f, 3, 6 + b)
         v9 = fv[:, :, 0:3].reshape(f, 9)
         c9 = fv[:, :, 3:6].reshape(f, 9)
-        z = jnp.transpose(fv[:, :, 6:], (2, 0, 1))               # (B, F, 3)
+        z = jnp.transpose(fv[:, :, 6:], (2, 0, 1))
     else:
         vtab = jnp.concatenate([verts, verts_color], axis=1)
         fv = vtab[vid].reshape(f, 3, 6)
@@ -443,7 +466,14 @@ def gather_face_corners(verts, verts_color, verts_ndc, faces):
         z = jnp.transpose(
             jnp.concatenate(zs, axis=1).reshape(f, 3, b), (2, 0, 1)
         )
-    return v9, c9, z
+    if verts_image is None:
+        return v9, c9, z
+    imgcols = jnp.transpose(verts_image, (1, 0, 2)).reshape(-1, 2 * b)
+    gs = [imgcols[:, k:k + 16][vid] for k in range(0, 2 * b, 16)]
+    fv_img = jnp.transpose(
+        jnp.concatenate(gs, axis=1).reshape(f, 3, b, 2), (2, 0, 1, 3)
+    )
+    return v9, c9, z, fv_img
 
 
 def build_face_table_from_corners(

@@ -76,14 +76,38 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
     the backward's face->vertex reduction gathers through the fixed
     permutation instead of running a 3F-row sort
     (RasterConfig.vertex_sort_mode="static").
+
+    With ``config.prep_mode == "fused"``, callers pass ``aa_face_verts=None``
+    and the raw projected vertices ``verts_image`` (B, P, 2) instead: the AA
+    corner columns ride the pipeline's one consolidated corner gather
+    (binning.gather_face_corners) and the CCW reorder happens inside, saving
+    a whole 3F-row gather per step vs geometry.face_aa_verts_ccw. The
+    gradient then flows to ``verts_image`` (same valence-bounded reduction,
+    geometry.aa_cotangent_to_verts_image); values and gradients are
+    identical to the split path by construction.
     """
     tau = float(aa_temperature)
+    fused_prep = config.prep_mode == "fused"
 
     def _pipeline(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
-                  aa_face_verts, faces, patch_min):
+                  aa_face_verts, faces, patch_min, verts_image):
         # One consolidated corner gather feeds both the depth preprocessing
         # and the record table (binning.gather_face_corners docstring).
-        v9, c9, z = gather_face_corners(verts, verts_color, verts_ndc, faces)
+        if fused_prep:
+            from dmesh2_renderer_tpu.geometry import tri_area2
+
+            v9, c9, z, fv_img = gather_face_corners(
+                verts, verts_color, verts_ndc, faces, verts_image
+            )
+            p0, p1, p2 = fv_img[..., 0, :], fv_img[..., 1, :], fv_img[..., 2, :]
+            neg = tri_area2(p0, p1, p2) < 0.0                   # (B, F)
+            q1 = jnp.where(neg[..., None], p2, p1)
+            q2 = jnp.where(neg[..., None], p1, p2)
+            aa_face_verts = jnp.stack([p0, q1, q2], axis=-2)    # (B, F, 3, 2)
+        else:
+            v9, c9, z = gather_face_corners(verts, verts_color, verts_ndc,
+                                            faces)
+            neg = None
         depth01, _, _, alive = ref_ops.face_depth01_from_z(z)
         binning = bin_faces(
             aa_face_verts, depth01, alive, patch_min, patch_width, patch_height,
@@ -97,12 +121,17 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             interpret=config.interpret,
         )
         stream = gather_stream(table, binning.entry_bf)
-        return binning, stream, table
+        return binning, stream, table, neg
 
     def rasterize_fwd_impl(verts, verts_color, faces_opacity, verts_ndc,
                            faces_intense, aa_face_verts, faces, background,
-                           patch_min, ray_o_cam, ray_d, vperm, svids):
+                           patch_min, ray_o_cam, ray_d, vperm, svids,
+                           verts_image):
         if not config.use_pallas:
+            if fused_prep:
+                from dmesh2_renderer_tpu.geometry import _face_aa_verts_impl
+
+                aa_face_verts = _face_aa_verts_impl(verts_image, faces)[0]
             color, depth, ref_aux = ref_ops.render_reference(
                 verts, faces, verts_color, faces_opacity, verts_ndc,
                 faces_intense, aa_face_verts, background, patch_min,
@@ -111,9 +140,9 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             zero = jnp.zeros((), jnp.int32)
             return (color, depth, ref_aux.final_t,
                     RasterAux(zero, zero, zero)), None
-        binning, stream, _table = _pipeline(
+        binning, stream, _table, neg = _pipeline(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
-            aa_face_verts, faces, patch_min,
+            aa_face_verts, faces, patch_min, verts_image,
         )
         color, depth, final_t, prev_t, _, nc_tile = composite_forward(
             stream, binning.tile_starts, binning.tile_counts, ray_o_cam, ray_d,
@@ -127,31 +156,31 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
                         n_contrib_total)
         residuals = (stream, binning.entry_bf, binning.tile_starts,
                      binning.tile_counts, binning.giant_ids, nc_tile,
-                     color, depth, final_t, prev_t)
+                     color, depth, final_t, prev_t, neg)
         return (color, depth, final_t, aux), residuals
 
     @jax.custom_vjp
     def rasterize(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
                   aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
-                  vperm=None, svids=None):
+                  vperm=None, svids=None, verts_image=None):
         out, _ = rasterize_fwd_impl(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
-            vperm, svids,
+            vperm, svids, verts_image,
         )
         return out
 
     def fwd(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
-            vperm=None, svids=None):
+            vperm=None, svids=None, verts_image=None):
         out, residuals = rasterize_fwd_impl(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
-            vperm, svids,
+            vperm, svids, verts_image,
         )
         saved = (residuals, verts, verts_color, faces_opacity, verts_ndc,
                  faces_intense, aa_face_verts, faces, background, patch_min,
-                 ray_o_cam, ray_d, vperm, svids)
+                 ray_o_cam, ray_d, vperm, svids, verts_image)
         return out, saved
 
     def bwd(saved, cotangents):
@@ -159,10 +188,16 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
         g_final_t = jnp.zeros_like(g_depth) if g_final_t is None else g_final_t
         (residuals, verts, verts_color, faces_opacity, verts_ndc,
          faces_intense, aa_face_verts, faces, background, patch_min,
-         ray_o_cam, ray_d, vperm, svids) = saved
+         ray_o_cam, ray_d, vperm, svids, verts_image) = saved
 
         if not config.use_pallas:
-            def f(v, c, o, nz, it, aa):
+            def f(v, c, o, nz, it, aa_or_img):
+                if fused_prep:
+                    from dmesh2_renderer_tpu.geometry import _face_aa_verts_impl
+
+                    aa = _face_aa_verts_impl(aa_or_img, faces)[0]
+                else:
+                    aa = aa_or_img
                 color, depth, raux = ref_ops.render_reference(
                     v, faces, c, o, nz, it, aa, background, patch_min,
                     jnp.broadcast_to(ray_o_cam[:, None, None, :], ray_d.shape),
@@ -171,12 +206,16 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
                 return color, depth, raux.final_t
 
             _, vjp = jax.vjp(f, verts, verts_color, faces_opacity, verts_ndc,
-                             faces_intense, aa_face_verts)
+                             faces_intense,
+                             verts_image if fused_prep else aa_face_verts)
             d6 = vjp((g_color, g_depth, g_final_t))
-            return (*d6, None, None, None, None, None, None, None)
+            if fused_prep:
+                return (*d6[:5], None, None, None, None, None, None, None,
+                        None, d6[5])
+            return (*d6, None, None, None, None, None, None, None, None)
 
         (stream, entry_bf, starts, counts, giant_ids, nc_tile,
-         color, depth, final_t, prev_t) = residuals
+         color, depth, final_t, prev_t, neg) = residuals
         grad_records = composite_backward(
             stream, starts, counts, nc_tile, ray_o_cam, ray_d, background,
             patch_min, color, depth, final_t, prev_t, g_color, g_depth,
@@ -213,8 +252,17 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             vperm=vperm, svids=svids,
         )
         d_vndc = jnp.zeros_like(verts_ndc).at[..., 2].set(d_vndc_z)
+        if fused_prep:
+            from dmesh2_renderer_tpu.geometry import aa_cotangent_to_verts_image
+
+            d_img = aa_cotangent_to_verts_image(
+                d_aa, neg, faces, verts_image.shape[1],
+                config.max_vertex_valence, vperm, svids,
+            )
+            return (d_verts, d_vcolor, d_op, d_vndc, d_int, None,
+                    None, None, None, None, None, None, None, d_img)
         return (d_verts, d_vcolor, d_op, d_vndc, d_int, d_aa,
-                None, None, None, None, None, None, None)
+                None, None, None, None, None, None, None, None)
 
     rasterize.defvjp(fwd, bwd)
     return rasterize

@@ -99,6 +99,18 @@ class RasterConfig:
     # (docs/DESIGN.md roofline, lever 2); finer pieces trade that masked
     # math for more loop steps. DMA stays per 128-block. A/B on chip.
     fwd_subchunks: int = 1
+    # How the geometry preprocess feeds the rasterizer:
+    #   "split"  -- the caller gathers screen-space AA corners itself
+    #               (geometry.face_aa_verts_ccw, its own 3F-row gather with a
+    #               custom sort-reduction VJP) and passes (B, F, 3, 2).
+    #   "fused"  -- the caller passes verts_image (B, P, 2) and the AA corner
+    #               columns ride the pipeline's ONE consolidated corner gather
+    #               (binning.gather_face_corners), eliminating a whole 3F-row
+    #               gather per step; the rasterize backward then runs the same
+    #               valence-bounded sort reduction to return d verts_image.
+    # Values and gradients are identical; per-site measurement decides
+    # (benchmarks/micro_prep.py p3 vs p0, BENCH_PREP_MODE A/B in bench.py).
+    prep_mode: str = "split"
     # Use the Pallas kernels; False falls back to the pure-XLA reference
     # compositor (slow; used by tests and as executable documentation).
     use_pallas: bool = True
@@ -163,4 +175,8 @@ class RasterConfig:
         if self.fwd_subchunks not in (1, 2, 4):
             raise ValueError(
                 f"fwd_subchunks must be 1, 2, or 4, got {self.fwd_subchunks!r}"
+            )
+        if self.prep_mode not in ("split", "fused"):
+            raise ValueError(
+                f"prep_mode must be 'split' or 'fused', got {self.prep_mode!r}"
             )

@@ -186,3 +186,42 @@ def test_grad_sort_mode_validated():
         RasterConfig(grad_sort_mode="ioat")
     RasterConfig(grad_sort_mode="iota")  # valid modes construct fine
     RasterConfig(grad_sort_mode="payload")
+
+
+def test_prep_modes_agree_end_to_end():
+    """prep_mode="fused" (AA corners riding the consolidated corner gather
+    inside rasterize) must produce the same image AND the same d verts as
+    prep_mode="split" (geometry.face_aa_verts_ccw outside) -- in both
+    vertex_sort_mode reductions. Values are identical by construction;
+    gradients agree to reassociation noise."""
+    from dmesh2_renderer_tpu.functional import render as frender
+
+    verts, faces = icosphere(1)
+    mv, proj = orbit_cameras(2)
+    f = faces.shape[0]
+
+    def loss(v, cfg):
+        c, d, _ = frender(v, jnp.asarray(faces), jnp.abs(v) % 1.0,
+                          jnp.full((f,), 0.6, jnp.float32),
+                          jnp.ones((2, f), jnp.float32), jnp.asarray(mv),
+                          jnp.asarray(proj), jnp.zeros((3,), jnp.float32),
+                          32, 32, 1.0, cfg)
+        return jnp.sum(c * c) + jnp.sum(d * d)
+
+    v = jnp.asarray(verts)
+    cfgs = {
+        "split": RasterConfig(binning_capacity=4096, interpret=True),
+        "fused": RasterConfig(binning_capacity=4096, interpret=True,
+                              prep_mode="fused"),
+        "fused_static": RasterConfig(binning_capacity=4096, interpret=True,
+                                     prep_mode="fused",
+                                     vertex_sort_mode="static"),
+    }
+    out = {k: jax.value_and_grad(lambda x: loss(x, c))(v)
+           for k, c in cfgs.items()}
+    ref_l, ref_g = out["split"]
+    for k in ("fused", "fused_static"):
+        l, g = out[k]
+        np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g),
+                                   rtol=2e-6, atol=2e-6)

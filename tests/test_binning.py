@@ -315,3 +315,27 @@ def test_exact_tile_cull_render_and_grads_unchanged():
     # Gradient reduction segments shrink too -- scan pairing reassociates.
     np.testing.assert_allclose(out[False][2], out[True][2],
                                rtol=5e-5, atol=1e-6)
+
+
+def test_gather_face_corners_fused_matches_direct():
+    """The fused corner gather's screen-space columns must equal the direct
+    ``verts_image[:, faces]`` gather for every batch-width code path of
+    gather_face_corners (one-table b<=3, z-in-table b<=10, chunked b>10)."""
+    from dmesh2_renderer_tpu.ops.binning import gather_face_corners
+
+    rng = np.random.default_rng(11)
+    p, f = 37, 53
+    faces = jnp.asarray(rng.integers(0, p, (f, 3)).astype(np.int32))
+    verts = jnp.asarray(rng.normal(size=(p, 3)).astype(np.float32))
+    vc = jnp.asarray(rng.uniform(size=(p, 3)).astype(np.float32))
+    for b in (2, 6, 12):
+        vndc = jnp.asarray(rng.normal(size=(b, p, 3)).astype(np.float32))
+        vimg = jnp.asarray(rng.normal(size=(b, p, 2)).astype(np.float32))
+        v9a, c9a, za = gather_face_corners(verts, vc, vndc, faces)
+        v9b, c9b, zb, fv_img = gather_face_corners(verts, vc, vndc, faces,
+                                                   verts_image=vimg)
+        np.testing.assert_array_equal(np.asarray(v9a), np.asarray(v9b))
+        np.testing.assert_array_equal(np.asarray(c9a), np.asarray(c9b))
+        np.testing.assert_array_equal(np.asarray(za), np.asarray(zb))
+        np.testing.assert_array_equal(np.asarray(fv_img),
+                                      np.asarray(vimg[:, faces]))
