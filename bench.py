@@ -104,6 +104,7 @@ def build_step(width, height, n_faces, capacity, tau):
         grad_sort_mode=os.environ.get("BENCH_GRAD_SORT_MODE", "payload"),
         vertex_sort_mode=os.environ.get("BENCH_VERTEX_SORT_MODE", "sort"),
         fwd_subchunks=int(os.environ.get("BENCH_FWD_SUBCHUNKS", "1")),
+        bwd_subchunks=int(os.environ.get("BENCH_BWD_SUBCHUNKS", "1")),
         prep_mode=os.environ.get("BENCH_PREP_MODE", "split"),
         interpret=jax.default_backend() == "cpu",
     )

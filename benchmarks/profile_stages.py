@@ -47,6 +47,8 @@ def main():
                            "BENCH_VERTEX_SORT_MODE", "sort"),
                        fwd_subchunks=int(os.environ.get(
                            "BENCH_FWD_SUBCHUNKS", "1")),
+                       bwd_subchunks=int(os.environ.get(
+                           "BENCH_BWD_SUBCHUNKS", "1")),
                        prep_mode=os.environ.get("BENCH_PREP_MODE", "split"),
                        interpret=jax.default_backend() == "cpu")
 

@@ -42,6 +42,10 @@ echo "=== 2d. headline A/B: fused prep (AA corners ride the corner gather) ==="
 BENCH_PREP_MODE=fused \
   BENCH_ITERS=5 BENCH_HEADLINE_ONLY=1 timeout 2400 python -u bench.py 2>&1 | grep -v Platform
 
+echo "=== 2e. headline A/B: bwd_subchunks=2 (piece-granular backward skip) ==="
+BENCH_BWD_SUBCHUNKS=2 \
+  BENCH_ITERS=5 BENCH_HEADLINE_ONLY=1 timeout 2400 python -u bench.py 2>&1 | grep -v Platform
+
 echo "=== 3. micro_scatter_stages (scatter decomposition: iota vs payload, static vertex perm) ==="
 timeout 3600 python -u benchmarks/micro_scatter_stages.py 2>&1 | grep -v Platform
 

@@ -74,6 +74,7 @@ def _bwd_kernel(
     buf_ref,      # (32, 128) VMEM: one stream block
     grad_ref,     # (32, 128) VMEM: one gradient block
     old_ref,      # (32, 128) VMEM: previous tile's records in a shared block
+    carry_ref,    # (8, 256) VMEM: blend-replay carries (subchunks > 1 only)
     sem_in,
     sem_out,
     *,
@@ -81,6 +82,7 @@ def _bwd_kernel(
     grid_y: int,
     chunk: int,
     aa_temperature: float,
+    subchunks: int = 1,
 ):
     t = pl.program_id(0)
     tiles_per_batch = grid_x * grid_y
@@ -130,9 +132,13 @@ def _bwd_kernel(
     # Blocks containing any contributing rank (< per-tile max n_contrib from
     # the forward pass) get the full gradient evaluation; the rest only write
     # zeros -- the tile-level analogue of the reference's per-pixel n_contrib
-    # skip (backward.cu:219-221). Block 0 always runs so the head merge below
-    # happens even for saturated tiles.
-    nactive = jnp.minimum(pl.cdiv(ncmax_ref[t] + h0, chunk), nblocks)
+    # skip (backward.cu:219-221). With ``subchunks > 1`` the skip also acts
+    # at (chunk/subchunks)-entry PIECE granularity inside the last active
+    # block, trimming its tail pieces (the backward counterpart of the
+    # forward's fwd_subchunks early exit; DMA stays whole-block). Block 0
+    # always runs so the head merge below happens even for saturated tiles.
+    ncmax = ncmax_ref[t]
+    nactive = jnp.minimum(pl.cdiv(ncmax + h0, chunk), nblocks)
     n_heavy = jnp.minimum(jnp.maximum(nactive, 1), nblocks)
 
     # Double-buffered stream DMA (see pallas_fwd). No drain needed: this is
@@ -146,17 +152,12 @@ def _bwd_kernel(
     def _():
         get_dma(0, 0).start()
 
-    def chunk_body(i, carry):
+    def piece_grads(buf, rank0, carry):
+        """Gradient records for one C-entry piece (C = chunk, or chunk /
+        subchunks when piece-granular). ``buf`` is entries-major (C, 32);
+        ``carry`` = (t_run, p_r, p_g, p_b, p_d) blend-replay prefixes.
+        Returns (rec (C, GRAD_RECORD_WIDTH), carry')."""
         t_run, p_r, p_g, p_b, p_d = carry
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < n_heavy)
-        def _():
-            get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
-
-        get_dma(slot, i).wait()
-        buf = buf_ref[slot].T
-        rank0 = i * chunk - h0
 
         q = chunk_face_quantities(
             buf, rank0, count, rdx, rdy, rdz, ox, oy, oz, px0, py0, aa_temperature
@@ -307,42 +308,120 @@ def _bwd_kernel(
                 daa += [dyo * r1[e_out] + dyi * r2[e_in],
                         -dxo * r1[e_out] - dxi * r2[e_in]]
         else:
-            daa = [jnp.zeros((chunk, 1), jnp.float32)] * 6
+            daa = [jnp.zeros((buf.shape[0], 1), jnp.float32)] * 6
 
         # Column layout mirrors the face-record REC_* constants: dp at REC_V,
         # dvc at REC_C, dop/dint at REC_OP/REC_IN, dvz at REC_Z, daa at REC_AA.
+        c = buf.shape[0]
         rec = jnp.concatenate(
             dp0 + dp1 + dp2
             + [red(x) for x in dvc]
             + [red(dl_dop), red(dl_dint)]
             + [red(x) for x in dvz]
             + daa
-            + [jnp.zeros((chunk, GRAD_RECORD_WIDTH - 29), jnp.float32)],
+            + [jnp.zeros((c, GRAD_RECORD_WIDTH - 29), jnp.float32)],
             axis=1,
         )
-        out_block = rec.T
-        # Head merge: the first block's leading rows hold the PREVIOUS tile's
-        # gradient records (tile starts are unaligned); grid programs run
-        # sequentially in tile order, so read-modify-write preserves them.
-        @pl.when(i == 0)
-        def _():
-            rd = pltpu.make_async_copy(gout_ref.at[blk0], old_ref, sem_out)
-            rd.start()
-            rd.wait()
-        lane_rank = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + rank0
-        )
-        out_block = jnp.where(lane_rank < 0, old_ref[:, :], out_block)
-        grad_ref[:, :] = out_block
-        out_copy = pltpu.make_async_copy(grad_ref, gout_ref.at[blk0 + i], sem_out)
-        out_copy.start()
-        out_copy.wait()
-        return t_out, pa_r[chunk - 1:chunk, :], pa_g[chunk - 1:chunk, :], \
-            pa_b[chunk - 1:chunk, :], pa_d[chunk - 1:chunk, :]
+        return rec, (t_out, pa_r[c - 1:c, :], pa_g[c - 1:c, :],
+                     pa_b[c - 1:c, :], pa_d[c - 1:c, :])
 
     zeros = jnp.zeros((1, TILE_PIXELS), jnp.float32)
     ones = jnp.ones((1, TILE_PIXELS), jnp.float32)
-    jax.lax.fori_loop(0, n_heavy, chunk_body, (ones, zeros, zeros, zeros, zeros))
+
+    if subchunks == 1:
+        def chunk_body(i, carry):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_heavy)
+            def _():
+                get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+            get_dma(slot, i).wait()
+            rank0 = i * chunk - h0
+            rec, carry_out = piece_grads(buf_ref[slot].T, rank0, carry)
+            out_block = rec.T
+            # Head merge: the first block's leading rows hold the PREVIOUS
+            # tile's gradient records (tile starts are unaligned); grid
+            # programs run sequentially in tile order, so read-modify-write
+            # preserves them.
+            @pl.when(i == 0)
+            def _():
+                rd = pltpu.make_async_copy(gout_ref.at[blk0], old_ref, sem_out)
+                rd.start()
+                rd.wait()
+            lane_rank = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + rank0
+            )
+            out_block = jnp.where(lane_rank < 0, old_ref[:, :], out_block)
+            grad_ref[:, :] = out_block
+            out_copy = pltpu.make_async_copy(grad_ref, gout_ref.at[blk0 + i],
+                                             sem_out)
+            out_copy.start()
+            out_copy.wait()
+            return carry_out
+
+        jax.lax.fori_loop(0, n_heavy, chunk_body,
+                          (ones, zeros, zeros, zeros, zeros))
+    else:
+        # Piece-granular: the heavy math runs per (chunk/subchunks)-entry
+        # static lane slice, gated on the piece containing any contributing
+        # rank. Blend-replay carries live in VMEM scratch because the gated
+        # bodies can't return values; skipped pieces have no active rows, so
+        # leaving the carries untouched is exact.
+        sub = chunk // subchunks
+
+        def chunk_body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_heavy)
+            def _():
+                get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+            get_dma(slot, i).wait()
+            buf_f = buf_ref[slot]                      # (32, chunk)
+            rank0 = i * chunk - h0
+            for j in range(subchunks):
+                pr0 = rank0 + j * sub
+
+                @pl.when(pr0 < ncmax)
+                def _(j=j, pr0=pr0):
+                    rec, co = piece_grads(
+                        buf_f[:, j * sub:(j + 1) * sub].T, pr0,
+                        (carry_ref[0:1, :], carry_ref[1:2, :],
+                         carry_ref[2:3, :], carry_ref[3:4, :],
+                         carry_ref[4:5, :]),
+                    )
+                    grad_ref[:, j * sub:(j + 1) * sub] = rec.T
+                    for k in range(5):
+                        carry_ref[k:k + 1, :] = co[k]
+
+                @pl.when(jnp.logical_not(pr0 < ncmax))
+                def _(j=j):
+                    grad_ref[:, j * sub:(j + 1) * sub] = jnp.zeros(
+                        (GRAD_RECORD_WIDTH, sub), jnp.float32)
+
+            # Head merge (see the subchunks == 1 path): whole-block RMW
+            # after the pieces are assembled.
+            @pl.when(i == 0)
+            def _():
+                rd = pltpu.make_async_copy(gout_ref.at[blk0], old_ref, sem_out)
+                rd.start()
+                rd.wait()
+                lane_rank = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) - h0
+                )
+                grad_ref[:, :] = jnp.where(lane_rank < 0, old_ref[:, :],
+                                           grad_ref[:, :])
+
+            out_copy = pltpu.make_async_copy(grad_ref, gout_ref.at[blk0 + i],
+                                             sem_out)
+            out_copy.start()
+            out_copy.wait()
+            return 0
+
+        carry_ref[0:1, :] = ones
+        carry_ref[1:5, :] = jnp.zeros((4, TILE_PIXELS), jnp.float32)
+        jax.lax.fori_loop(0, n_heavy, chunk_body, 0)
 
     # Saturated tail blocks: every rank here is past the last contributor,
     # so all gradient records are zero -- skip the evaluation entirely.
@@ -359,7 +438,7 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("patch_width", "patch_height", "aa_temperature", "chunk",
-                     "interpret", "blocked"),
+                     "interpret", "blocked", "subchunks"),
 )
 def composite_backward(
     face_stream,   # (NB, 32, 128) field-major blocks (binning.block_stream)
@@ -385,6 +464,7 @@ def composite_backward(
     chunk: int = 128,
     interpret: bool = False,
     blocked: bool = False,
+    subchunks: int = 1,
 ):
     """Per-entry gradient records in face-stream entry order.
 
@@ -418,7 +498,8 @@ def composite_backward(
     pm_flat = patch_min.reshape(-1).astype(jnp.int32)
 
     kernel = functools.partial(
-        _bwd_kernel, grid_x=gx, grid_y=gy, chunk=chunk, aa_temperature=aa_temperature
+        _bwd_kernel, grid_x=gx, grid_y=gy, chunk=chunk,
+        aa_temperature=aa_temperature, subchunks=subchunks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -438,6 +519,7 @@ def composite_backward(
             pltpu.VMEM((2, FACE_RECORD_WIDTH, chunk), jnp.float32),
             pltpu.VMEM((GRAD_RECORD_WIDTH, chunk), jnp.float32),
             pltpu.VMEM((GRAD_RECORD_WIDTH, chunk), jnp.float32),
+            pltpu.VMEM((8, TILE_PIXELS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],

@@ -221,7 +221,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             patch_min, color, depth, final_t, prev_t, g_color, g_depth,
             g_final_t, patch_width, patch_height, tau,
             chunk=config.face_chunk, interpret=config.interpret,
-            blocked=True,
+            blocked=True, subchunks=config.bwd_subchunks,
         )
         if config.grad_compact_capacity:
             # Residual compaction folded into the scatter's sort: entries

@@ -99,6 +99,12 @@ class RasterConfig:
     # (docs/DESIGN.md roofline, lever 2); finer pieces trade that masked
     # math for more loop steps. DMA stays per 128-block. A/B on chip.
     fwd_subchunks: int = 1
+    # Same lever for the backward kernel: pieces of the last active block
+    # wholly past the tile's max contributor rank skip the (heavier)
+    # gradient math instead of evaluating it fully masked -- the
+    # finer-than-tile analogue of the reference's per-pixel n_contrib skip
+    # (backward.cu:219-221). DMA stays per 128-block. A/B on chip.
+    bwd_subchunks: int = 1
     # How the geometry preprocess feeds the rasterizer:
     #   "split"  -- the caller gathers screen-space AA corners itself
     #               (geometry.face_aa_verts_ccw, its own 3F-row gather with a
@@ -175,6 +181,10 @@ class RasterConfig:
         if self.fwd_subchunks not in (1, 2, 4):
             raise ValueError(
                 f"fwd_subchunks must be 1, 2, or 4, got {self.fwd_subchunks!r}"
+            )
+        if self.bwd_subchunks not in (1, 2, 4):
+            raise ValueError(
+                f"bwd_subchunks must be 1, 2, or 4, got {self.bwd_subchunks!r}"
             )
         if self.prep_mode not in ("split", "fused"):
             raise ValueError(

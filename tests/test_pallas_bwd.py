@@ -151,6 +151,51 @@ def test_grad_compaction_matches_uncompacted():
     assert np.isfinite(np.asarray(g_tiny[0])).all()
 
 
+def test_bwd_subchunks_match_full_blocks():
+    """bwd_subchunks in {2, 4} must reproduce the full-block backward's
+    gradients to reassociation noise: piece boundaries only re-chunk the
+    blend replay (carries move through VMEM scratch instead of loop state),
+    and the piece-level skip only drops pieces whose first rank is already
+    past the tile's max contributor -- records the saturation mask zeroes
+    anyway. High opacities force early saturation so tail pieces genuinely
+    get skipped."""
+    from dmesh2_renderer_tpu.functional import render
+    from dmesh2_renderer_tpu.utils.config import RasterConfig
+    from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
+
+    verts_np, faces_np = icosphere(1)
+    rng = np.random.default_rng(13)
+    verts_np = verts_np + rng.normal(scale=1e-3, size=verts_np.shape).astype(
+        np.float32)
+    f = faces_np.shape[0]
+    mv, proj = orbit_cameras(1)
+    args = (
+        jnp.asarray(verts_np), jnp.asarray(faces_np),
+        jnp.asarray(rng.uniform(size=(verts_np.shape[0], 3)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.85, 0.99, size=(f,)).astype(np.float32)),
+        jnp.ones((1, f), jnp.float32), jnp.asarray(mv), jnp.asarray(proj),
+        jnp.asarray([0.1, 0.2, 0.3], jnp.float32),
+    )
+
+    def loss(v, c, o, cfg):
+        col, dep, _ = render(v, args[1], c, o, args[4], args[5], args[6],
+                             args[7], 32, 32, 1.0, cfg)
+        return jnp.sum(col * jnp.cos(col)) + jnp.sum(dep * 0.3)
+
+    grads = {}
+    for sc in (1, 2, 4):
+        cfg = RasterConfig(binning_capacity=2048, interpret=True,
+                           bwd_subchunks=sc)
+        grads[sc] = jax.grad(loss, argnums=(0, 1, 2))(
+            args[0], args[2], args[3], cfg)
+    for sc in (2, 4):
+        for name, a, b in zip(("verts", "color", "op"), grads[sc], grads[1]):
+            got, want = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(want).max(), 1.0)
+            err = np.abs(got - want).max()
+            assert err < 2e-5 * scale, f"sc={sc} {name}: {err:.3e}"
+
+
 def test_scatter_sort_modes_agree():
     """sort_mode="iota" (2-op sort + compacted-prefix gather) must reduce to
     the same six gradients as the payload-carry sort; both are followed by

@@ -122,3 +122,20 @@ def test_onchip_fwd_subchunks_matches_full_blocks():
         scale = max(float(jnp.abs(b).max()), 1.0)
         err = float(jnp.abs(a - b).max())
         assert err < 1e-4 * scale, (name, err, scale)
+
+
+def test_onchip_bwd_subchunks_matches_full_blocks():
+    """Mosaic lowering of the piece-granular backward (bwd_subchunks=2:
+    gated piece bodies with VMEM-scratch blend carries) vs the full-block
+    kernel on the real chip. Gradients must agree to reassociation noise
+    (the interpret-mode equivalence is
+    test_pallas_bwd.test_bwd_subchunks_match_full_blocks)."""
+    s = _scene()
+    _, _, g1 = _run(s, RasterConfig(binning_capacity=1 << 14))
+    _, _, g2 = _run(
+        s, RasterConfig(binning_capacity=1 << 14, bwd_subchunks=2)
+    )
+    for name, a, b in zip(("verts", "color", "op"), g2, g1):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        err = float(jnp.abs(a - b).max())
+        assert err < 1e-4 * scale, (name, err, scale)
