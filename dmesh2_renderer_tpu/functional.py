@@ -30,6 +30,8 @@ def render_partial(
     height: int,
     aa_temperature: float = 1.0,
     config: RasterConfig | None = None,
+    patch_origin=None,
+    patch_shape: tuple[int, int] | None = None,
 ):
     """Render B full-frame views, also returning the exit transmittance.
 
@@ -37,10 +39,18 @@ def render_partial(
     UN-remapped composite -- the form face-parallel compositing needs
     (parallel/face_parallel.py): partial framebuffers from disjoint depth
     slabs combine with the associative ``over`` operator using final_t.
+
+    ``patch_origin=(x0, y0)`` (values may be traced) + ``patch_shape=(ph,
+    pw)`` (static) restrict every view to one shared window of the full
+    frame: cameras/projections still describe the (width, height) frame but
+    only the window's rays/tiles are binned and composited. This is the
+    spatial-sharding form (parallel/patch_parallel.py: one window per chip);
+    per-view windows are the class API (models.Renderer patches).
     """
     config = config or RasterConfig()
     b = mv.shape[0]
-    ray_o, ray_d = G.init_rays(mv, proj, width, height)
+    ray_o, ray_d = G.init_rays(mv, proj, width, height,
+                               origin=patch_origin, shape=patch_shape)
     verts_ndc, verts_image = G.compute_verts_ndc_image(verts, mv, proj, width, height)
     valence_cache.check(faces, config.max_vertex_valence)
     vperm, svids = (static_vertex_order(faces)
@@ -53,8 +63,16 @@ def render_partial(
         aa_verts = G.face_aa_verts_ccw(verts_image, faces,
                                        config.max_vertex_valence, vperm, svids)
         img = None
-    patch_min = jnp.zeros((b, 2), jnp.int32)
-    rasterize = make_rasterizer(width, height, float(aa_temperature), config)
+    if patch_origin is None:
+        patch_min = jnp.zeros((b, 2), jnp.int32)
+        pw, ph = width, height
+    else:
+        x0, y0 = patch_origin
+        patch_min = jnp.broadcast_to(
+            jnp.stack([jnp.asarray(x0, jnp.int32),
+                       jnp.asarray(y0, jnp.int32)])[None, :], (b, 2))
+        ph, pw = patch_shape
+    rasterize = make_rasterizer(pw, ph, float(aa_temperature), config)
     return rasterize(
         verts, verts_color, faces_opacity, verts_ndc, faces_intense, aa_verts,
         faces, background, patch_min, ray_o[:, 0, 0, :], ray_d, vperm, svids,

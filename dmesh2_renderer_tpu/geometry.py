@@ -60,7 +60,7 @@ def compute_verts_ndc_image(verts, mv, proj, width, height):
     return verts_ndc, verts_image
 
 
-def init_rays(mv, proj, width, height):
+def init_rays(mv, proj, width, height, origin=None, shape=None):
     """Per-pixel world-space camera rays for a batch of cameras.
 
     Matches ``Renderer._init_rays`` (``__init__.py:198-237``): ray origins are
@@ -68,22 +68,31 @@ def init_rays(mv, proj, width, height):
     centers (+0.5) unprojected from NDC at the near plane (z = -1), normalized
     with a +1e-6 length epsilon.
 
+    ``origin=(x0, y0)`` / ``shape=(ph, pw)`` restrict the pixel grid to one
+    window of the full (width, height) frame shared by all B views -- the
+    form spatial pixel sharding needs (parallel/patch_parallel.py), where the
+    window origin is a TRACED value (`lax.axis_index` of the pixel axis) but
+    the window shape is static. Per-view windows stay on the precompute +
+    gather path (``select_rays``) the class API uses.
+
     Returns:
-      ray_o: (B, H, W, 3)
-      ray_d: (B, H, W, 3) unit directions.
+      ray_o: (B, ph, pw, 3)
+      ray_d: (B, ph, pw, 3) unit directions.
     """
     b = mv.shape[0]
+    ph, pw = shape if shape is not None else (height, width)
+    x0, y0 = origin if origin is not None else (0, 0)
     inv_mv = jnp.linalg.inv(mv)
     inv_proj = jnp.linalg.inv(proj)
 
-    ray_o = jnp.broadcast_to(inv_mv[:, :3, 3][:, None, None, :], (b, height, width, 3))
+    ray_o = jnp.broadcast_to(inv_mv[:, :3, 3][:, None, None, :], (b, ph, pw, 3))
 
-    px = (jnp.arange(width, dtype=mv.dtype) + 0.5) / width * 2.0 - 1.0
-    py = (jnp.arange(height, dtype=mv.dtype) + 0.5) / height * 2.0 - 1.0
+    px = (x0 + jnp.arange(pw, dtype=mv.dtype) + 0.5) / width * 2.0 - 1.0
+    py = (y0 + jnp.arange(ph, dtype=mv.dtype) + 0.5) / height * 2.0 - 1.0
     pix_ndc = jnp.stack(
         jnp.meshgrid(px, py, indexing="xy") , axis=-1
-    )  # (H, W, 2)
-    ones = jnp.ones((height, width, 1), dtype=mv.dtype)
+    )  # (ph, pw, 2)
+    ones = jnp.ones((ph, pw, 1), dtype=mv.dtype)
     # NDC point on the near plane: z = -1, w = 1 (__init__.py:225-226).
     pix_ndc_h = jnp.concatenate([pix_ndc, -ones, ones], axis=-1)  # (H, W, 4)
     pix_view = jnp.einsum("hwj,bij->bhwi", pix_ndc_h, inv_proj,

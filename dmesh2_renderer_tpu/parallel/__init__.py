@@ -10,8 +10,16 @@ from dmesh2_renderer_tpu.parallel.face_parallel import (
     make_face_sharded_train_step,
     render_faces_sharded,
 )
+from dmesh2_renderer_tpu.parallel.patch_parallel import (
+    make_grid_train_step,
+    make_pixel_mesh,
+    render_pixels_sharded,
+)
 
 __all__ = [
+    "make_grid_train_step",
+    "make_pixel_mesh",
+    "render_pixels_sharded",
     "RenderStats",
     "SceneParams",
     "make_sharded_train_step",
