@@ -108,9 +108,23 @@ class Trainer:
                  checkpoint_every: int = 100):
         self.optimizer = optimizer
         self.config = config or RasterConfig()
-        self.step_fn = make_sharded_train_step(
-            mesh, optimizer, faces, width, height, aa_temperature, self.config
-        )
+        if "sp" in mesh.axis_names:
+            # 2-D (view x pixel-band) mesh: shard each view's pixel rows
+            # over the "sp" axis too (parallel/patch_parallel.py). Same
+            # step signature; targets arrive pre-sharded on (view, row).
+            from dmesh2_renderer_tpu.parallel.patch_parallel import (
+                make_grid_train_step,
+            )
+
+            self.step_fn = make_grid_train_step(
+                mesh, optimizer, faces, width, height, aa_temperature,
+                self.config,
+            )
+        else:
+            self.step_fn = make_sharded_train_step(
+                mesh, optimizer, faces, width, height, aa_temperature,
+                self.config,
+            )
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
         self.last_stats: RenderStats | None = None

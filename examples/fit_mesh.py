@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--checkpoint", type=str, default="/tmp/fit_mesh.npz")
+    ap.add_argument("--grid", action="store_true",
+                    help="2-D (view x pixel-band) device mesh instead of "
+                         "pure view data-parallel")
     args = ap.parse_args()
 
     hw, b = args.size, args.views
@@ -66,7 +69,14 @@ def main():
         verts_color=jnp.full((verts_np.shape[0], 3), 0.5, jnp.float32),
         faces_opacity=jnp.full((f,), 0.5, jnp.float32),
     )
-    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    if args.grid:
+        # Half the devices on views, two pixel bands per view: the 2-D
+        # deployment shape (parallel/patch_parallel.py).
+        n = len(jax.devices()) // 2 * 2 or 1
+        mesh = Mesh(np.array(jax.devices()[:n]).reshape(n // 2, 2),
+                    ("dp", "sp"))
+    else:
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
     trainer = Trainer(mesh, optax.adam(5e-3), faces, hw, hw, 1.0, cfg,
                       checkpoint_path=args.checkpoint, checkpoint_every=50)
     state = trainer.init_state(params)

@@ -98,3 +98,34 @@ def test_trainer_surfaces_compaction_overflow():
         state, _loss = tr.step(state, it, jnp.asarray(mv), jnp.asarray(proj),
                                tgt, bg)
     assert int(tr.last_stats.num_grad_contributing) > 128
+
+
+def test_trainer_grid_mesh_step():
+    """A Trainer given a 2-D ("dp", "sp") mesh routes through
+    make_grid_train_step (pixel rows sharded too) and trains: the numerical
+    equivalence with the unsharded step is pinned by
+    test_patch_parallel.test_grid_train_step_matches_unsharded_grad."""
+    b, hw = 2, 16
+    verts, faces = icosphere(0)
+    mv, proj = orbit_cameras(b)
+    f = faces.shape[0]
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "sp"))
+
+    params = SceneParams(
+        verts=jnp.asarray(verts),
+        verts_color=jnp.abs(jnp.asarray(verts)),
+        faces_opacity=jnp.full((f,), 0.7, jnp.float32),
+    )
+    it = jnp.ones((b, f), jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
+    tgt = jnp.zeros((b, hw, hw, 3), jnp.float32)
+
+    tr = Trainer(mesh, optax.adam(1e-2), jnp.asarray(faces), hw, hw, 1.0, CFG)
+    state = tr.init_state(params)
+    l0 = None
+    for _ in range(2):
+        state, loss = tr.step(state, it, jnp.asarray(mv), jnp.asarray(proj),
+                              tgt, bg)
+        l0 = l0 if l0 is not None else float(loss)
+    assert np.isfinite(float(loss)) and float(loss) < l0
+    assert int(state.step) == 2
