@@ -49,7 +49,10 @@ def test_face_sharded_render_matches_single_device():
     keeps interpret-mode runtime comparable to the 2-view 32x32 grads test."""
     width = height = 16
     verts, faces, vc, fo, fi, mv, proj, bg = _scene(width, height, b=8)
-    cfg = RasterConfig(binning_capacity=1 << 12, interpret=True)
+    # Backend-agnostic slab/compositing semantics: pure-XLA compositor
+    # (cacheable) instead of interpret-mode Pallas (see test_parallel.py).
+    cfg = RasterConfig(binning_capacity=1 << 12, interpret=True,
+                       use_pallas=False)
 
     ref_color, ref_depth, _ = jax.jit(
         lambda: render(verts, faces, vc, fo, fi, mv, proj, bg,
@@ -71,7 +74,10 @@ def test_face_sharded_grads_match_unsharded():
     (the data-parallel grads test is the slow-marked heavyweight variant)."""
     width = height = 16
     verts, faces, vc, fo, fi, mv, proj, bg = _scene(width, height)
-    cfg = RasterConfig(binning_capacity=1 << 12, interpret=True)
+    # Backend-agnostic slab/compositing semantics: pure-XLA compositor
+    # (cacheable) instead of interpret-mode Pallas (see test_parallel.py).
+    cfg = RasterConfig(binning_capacity=1 << 12, interpret=True,
+                       use_pallas=False)
     rng = np.random.default_rng(11)
     tgt = jnp.asarray(
         rng.uniform(size=(2, height, width, 3)).astype(np.float32))

@@ -15,7 +15,14 @@ from dmesh2_renderer_tpu.parallel.data_parallel import (
 from dmesh2_renderer_tpu.utils.config import RasterConfig
 from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
 
-CFG = RasterConfig(binning_capacity=1 << 12, interpret=True)
+# These tests pin SHARDING semantics (shard_map specs, psum/pmean scaling),
+# which are backend-agnostic -- so they run the pure-XLA reference
+# compositor (use_pallas=False), which the persistent compile cache makes
+# near-free, instead of the per-run interpret-mode Pallas path. Fast-set
+# Pallas-under-shard_map coverage lives in
+# test_patch_parallel.test_grid_train_step_matches_unsharded_grad.
+CFG = RasterConfig(binning_capacity=1 << 12, interpret=True,
+                   use_pallas=False)
 
 
 def _scene(b):

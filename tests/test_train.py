@@ -13,7 +13,11 @@ from dmesh2_renderer_tpu.train import Trainer, save_checkpoint, load_checkpoint
 from dmesh2_renderer_tpu.utils.config import RasterConfig
 from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
 
-CFG = RasterConfig(binning_capacity=1 << 12, interpret=True)
+# Trainer/checkpoint plumbing is backend-agnostic: run the pure-XLA
+# reference compositor (cacheable) instead of interpret-mode Pallas. The
+# overflow-warning test below keeps its own real-pipeline config.
+CFG = RasterConfig(binning_capacity=1 << 12, interpret=True,
+                   use_pallas=False)
 
 
 def test_trainer_checkpoint_resume(tmp_path):
