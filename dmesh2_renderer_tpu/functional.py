@@ -48,6 +48,11 @@ def render_partial(
     per-view windows are the class API (models.Renderer patches).
     """
     config = config or RasterConfig()
+    if (patch_origin is None) != (patch_shape is None):
+        raise ValueError(
+            "patch_origin and patch_shape must be passed together "
+            f"(got patch_origin={patch_origin!r}, patch_shape={patch_shape!r})"
+        )
     b = mv.shape[0]
     ray_o, ray_d = G.init_rays(mv, proj, width, height,
                                origin=patch_origin, shape=patch_shape)

@@ -122,18 +122,22 @@ class Renderer:
             background, batch_mvp_idx.shape[0], aa_temperature,
         )
         verts = jnp.asarray(verts, dtype=jnp.float32)
-        faces = jnp.asarray(faces, dtype=jnp.int32)
         # Valence check (gradient-truncation contract; see
         # utils.validate.check_vertex_valence). Memoized on object identity
         # + content digest, so swapping in a DIFFERENT same-shape topology
-        # re-validates while the steady-state cost is zero. Callers that
-        # mutate the faces buffer IN PLACE should re-check themselves.
+        # re-validates while the steady-state cost is zero. Run on the RAW
+        # caller object BEFORE jnp.asarray: the conversion mints a fresh
+        # array every call, which would demote the id fast path to a
+        # per-frame device->host transfer + sha1 of the full buffer.
+        # Callers that mutate the faces buffer IN PLACE should re-check
+        # themselves.
         valence_cache.check(faces, self.config.max_vertex_valence)
-        # Host-precomputed vertex order (cached per topology): turns the
-        # backward's 3F-row sorts into fixed gathers when enabled.
+        # Host-precomputed vertex order (cached per topology, same raw-object
+        # reasoning): turns the backward's 3F-row sorts into fixed gathers.
         vperm, svids = (static_vertex_order(faces)
                         if self.config.vertex_sort_mode == "static"
                         else (None, None))
+        faces = jnp.asarray(faces, dtype=jnp.int32)
 
         fwd = self._get_fwd(int(patch_width), int(patch_height),
                             float(aa_temperature))

@@ -111,14 +111,23 @@ def make_grid_train_step(
     ICI), targets arrive pre-sharded on (view, row). With ``mesh`` shaped
     (n, 1) this reduces exactly to data_parallel.make_sharded_train_step;
     with (1, n) it is pure spatial sharding of BASELINE.md config 1's frame.
+    A 1-D mesh carrying only ``pixel_axis`` (make_pixel_mesh) is also
+    accepted: views replicate, bands shard.
 
     Returns step(params, opt_state, faces_intense, mv, proj, target_color,
     background) -> (params, opt_state, loss, stats: RenderStats).
     """
     config = config or RasterConfig()
+    if pixel_axis not in mesh.axis_names:
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} lack pixel axis {pixel_axis!r}"
+        )
+    has_views = view_axis in mesh.axis_names
     n_px = mesh.shape[pixel_axis]
     band = _band(height, n_px)
-    axes = (view_axis, pixel_axis)
+    axes = (view_axis, pixel_axis) if has_views else (pixel_axis,)
+    vspec = P(view_axis) if has_views else P()
+    tspec = P(view_axis, pixel_axis) if has_views else P(None, pixel_axis)
 
     def local_loss(params: SceneParams, fi_s, mv_s, proj_s, tgt_s, background):
         y0 = jax.lax.axis_index(pixel_axis) * band
@@ -146,8 +155,7 @@ def make_grid_train_step(
 
     sharded_grads = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(view_axis), P(view_axis), P(view_axis),
-                  P(view_axis, pixel_axis), P()),
+        in_specs=(P(), vspec, vspec, vspec, tspec, P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

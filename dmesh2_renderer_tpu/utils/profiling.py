@@ -68,7 +68,12 @@ def profile_render(
     from dmesh2_renderer_tpu import geometry as G
     from dmesh2_renderer_tpu.functional import render
     from dmesh2_renderer_tpu.ops import reference as ref_ops
-    from dmesh2_renderer_tpu.ops.binning import bin_faces, pack_face_stream
+    from dmesh2_renderer_tpu.ops.binning import (
+        bin_faces,
+        build_face_table_from_corners,
+        gather_face_corners,
+        gather_stream,
+    )
     from dmesh2_renderer_tpu.ops.pallas_bwd import (
         composite_backward,
         scatter_entry_grads,
@@ -91,16 +96,35 @@ def profile_render(
         if verbose:
             print(f"{name:42s} {ms:9.2f} ms", flush=True)
 
+    # The prep/pack stages mirror ops/rasterize._pipeline exactly (incl.
+    # the consolidated corner gather and the fused/split prep_mode split)
+    # so the stage table attributes the same computation the e2e path runs.
     def prep(verts):
         verts_ndc, verts_image = G.compute_verts_ndc_image(
             verts, mv, proj, width, height
         )
-        aa_verts = G.face_aa_verts_ccw(verts_image, faces,
-                                       cfg.max_vertex_valence, vperm, svids)
-        depth01, _, _, alive = ref_ops.face_depth01(verts_ndc, faces)
-        return verts_ndc, aa_verts, depth01, alive
+        if cfg.prep_mode == "fused":
+            from dmesh2_renderer_tpu.geometry import tri_area2
 
-    (verts_ndc, aa_verts, depth01, alive), t_prep = time_jitted(
+            v9, c9, z, fv_img = gather_face_corners(
+                verts, verts_color, verts_ndc, faces, verts_image
+            )
+            p0, p1, p2 = (fv_img[..., 0, :], fv_img[..., 1, :],
+                          fv_img[..., 2, :])
+            neg = tri_area2(p0, p1, p2) < 0.0
+            q1 = jnp.where(neg[..., None], p2, p1)
+            q2 = jnp.where(neg[..., None], p1, p2)
+            aa_verts = jnp.stack([p0, q1, q2], axis=-2)
+        else:
+            aa_verts = G.face_aa_verts_ccw(verts_image, faces,
+                                           cfg.max_vertex_valence, vperm,
+                                           svids)
+            v9, c9, z = gather_face_corners(verts, verts_color, verts_ndc,
+                                            faces)
+        depth01, _, _, alive = ref_ops.face_depth01_from_z(z)
+        return verts_ndc, aa_verts, depth01, alive, v9, c9, z
+
+    (verts_ndc, aa_verts, depth01, alive, v9, c9, z), t_prep = time_jitted(
         prep, verts, iters=iters)
     say("geometry preprocess", t_prep)
 
@@ -116,11 +140,15 @@ def profile_render(
         aa_verts, depth01, alive, iters=iters)
     say("bin_faces", t_bin)
 
+    def pack(e, v9, c9, z, aav):
+        table = build_face_table_from_corners(
+            v9, c9, z, faces_opacity, faces_intense, aav,
+            interpret=cfg.interpret,
+        )
+        return gather_stream(table, e)
+
     stream, t_pack = time_jitted(
-        lambda e: pack_face_stream(e, verts, faces, verts_color,
-                                   faces_opacity, verts_ndc, faces_intense,
-                                   aa_verts, interpret=cfg.interpret),
-        binning.entry_bf, iters=iters)
+        pack, binning.entry_bf, v9, c9, z, aa_verts, iters=iters)
     say("pack_face_stream", t_pack)
 
     fwd_out, t_fwd = time_jitted(
@@ -145,7 +173,8 @@ def profile_render(
             s, st, ct, nc, ray_o_cam, ray_d, background, pm, color, depth,
             final_t, prev_t, g_color, g_depth, jnp.zeros_like(g_depth),
             width, height, tau, chunk=cfg.face_chunk,
-            interpret=cfg.interpret, blocked=True),
+            interpret=cfg.interpret, blocked=True,
+            subchunks=cfg.bwd_subchunks),
         stream, binning.tile_starts, binning.tile_counts, nc_tile,
         iters=iters)
     say("composite_backward", t_bwd)

@@ -14,7 +14,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-_vertex_order_cache: dict = {"by_id": {}, "by_digest": {}}
+import collections
+
+# Bounded LRU on both layers: each by_digest entry pins two (3F,) int32
+# DEVICE arrays (~24 MB at 1M faces), and DMesh-style training rewires
+# topology at fixed F -- an unbounded cache would leak device memory one
+# topology at a time. 4 live topologies covers any sane training loop.
+_VERTEX_ORDER_CACHE_SIZE = 4
+_vertex_order_cache: dict = {
+    "by_id": collections.OrderedDict(),
+    "by_digest": collections.OrderedDict(),
+}
+
+
+def _lru_put(od: "collections.OrderedDict", key, value,
+             cap: int = _VERTEX_ORDER_CACHE_SIZE):
+    od[key] = value
+    od.move_to_end(key)
+    while len(od) > cap:
+        od.popitem(last=False)
 
 
 def static_vertex_order(faces):
@@ -40,6 +58,7 @@ def static_vertex_order(faces):
     idkey = id(faces)
     ent = _vertex_order_cache["by_id"].get(idkey)
     if ent is not None and ent[0]() is faces:
+        _vertex_order_cache["by_id"].move_to_end(idkey)
         return ent[1]
     try:
         f = np.asarray(faces)
@@ -51,9 +70,9 @@ def static_vertex_order(faces):
         vids = np.concatenate([f[:, 0], f[:, 1], f[:, 2]]).astype(np.int32)
         perm = np.argsort(vids, kind="stable").astype(np.int32)
         out = (jnp.asarray(perm), jnp.asarray(vids[perm]))
-        _vertex_order_cache["by_digest"][digest] = out
+    _lru_put(_vertex_order_cache["by_digest"], digest, out)
     try:
-        _vertex_order_cache["by_id"][idkey] = (weakref.ref(faces), out)
+        _lru_put(_vertex_order_cache["by_id"], idkey, (weakref.ref(faces), out))
     except TypeError:
         pass
     return out

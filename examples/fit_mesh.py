@@ -69,13 +69,15 @@ def main():
         verts_color=jnp.full((verts_np.shape[0], 3), 0.5, jnp.float32),
         faces_opacity=jnp.full((f,), 0.5, jnp.float32),
     )
-    if args.grid:
+    if args.grid and len(jax.devices()) >= 2:
         # Half the devices on views, two pixel bands per view: the 2-D
         # deployment shape (parallel/patch_parallel.py).
-        n = len(jax.devices()) // 2 * 2 or 1
+        n = len(jax.devices()) // 2 * 2
         mesh = Mesh(np.array(jax.devices()[:n]).reshape(n // 2, 2),
                     ("dp", "sp"))
     else:
+        if args.grid:
+            print("--grid needs >= 2 devices; falling back to view DP")
         mesh = Mesh(np.array(jax.devices()), ("dp",))
     trainer = Trainer(mesh, optax.adam(5e-3), faces, hw, hw, 1.0, cfg,
                       checkpoint_path=args.checkpoint, checkpoint_every=50)

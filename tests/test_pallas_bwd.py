@@ -272,3 +272,26 @@ def test_static_vertex_order_end_to_end_grads():
     g_stat = jax.grad(lambda x: loss(x, cfg_stat))(v)
     np.testing.assert_allclose(np.asarray(g_sort), np.asarray(g_stat),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_static_vertex_order_cache_bounded():
+    """The host-precompute cache must evict: each entry pins two (3F,)
+    device arrays, and topology-rewiring training would otherwise leak
+    device memory one topology at a time."""
+    from dmesh2_renderer_tpu.utils import segments
+
+    before = dict(segments._vertex_order_cache["by_digest"])
+    try:
+        tops = []
+        for k in range(segments._VERTEX_ORDER_CACHE_SIZE + 3):
+            f = np.array([[0, 1, 2], [1, 2, 3 + k]], np.int32)
+            tops.append(f)
+            vperm, svids = segments.static_vertex_order(f)
+            assert vperm.shape == (6,)
+        assert (len(segments._vertex_order_cache["by_digest"])
+                <= segments._VERTEX_ORDER_CACHE_SIZE)
+        assert (len(segments._vertex_order_cache["by_id"])
+                <= segments._VERTEX_ORDER_CACHE_SIZE)
+    finally:
+        segments._vertex_order_cache["by_digest"].clear()
+        segments._vertex_order_cache["by_digest"].update(before)

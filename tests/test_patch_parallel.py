@@ -98,3 +98,29 @@ def test_grid_train_step_matches_unsharded_grad():
             np.asarray(a), np.asarray(r), atol=5e-7, err_msg=name
         )
     assert int(stats.num_grad_contributing) >= 0
+
+
+def test_pure_pixel_mesh_train_step():
+    """A 1-D ("sp",) mesh (make_pixel_mesh) must build and run a step:
+    views replicate, only the pixel rows shard (regression: the grid step
+    used to hard-require a "dp" axis)."""
+    b, hw = 2, 16
+    verts, faces, vc, op, it, mv, proj, bg = _scene(b)
+    params = SceneParams(verts=verts, verts_color=vc, faces_opacity=op)
+    optimizer = optax.sgd(1e-2)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("sp",))
+    step = make_grid_train_step(mesh, optimizer, faces, hw, hw, 1.0, CFG)
+    target = 0.3 * jnp.ones((b, hw, hw, 3), jnp.float32)
+    p, _, loss, _stats = step(params, optimizer.init(params), it, mv, proj,
+                              target, bg)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(x)).all() for x in p)
+
+
+def test_patch_args_must_pair():
+    from dmesh2_renderer_tpu.functional import render_partial
+
+    verts, faces, vc, op, it, mv, proj, bg = _scene(1)
+    with pytest.raises(ValueError, match="together"):
+        render_partial(verts, faces, vc, op, it, mv, proj, bg, 16, 16, 1.0,
+                       CFG, patch_origin=(0, 8))
