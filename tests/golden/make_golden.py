@@ -81,6 +81,8 @@ def main():
     areas = np.zeros(N_PAIRS)
     grads = np.zeros((N_PAIRS, 3, 2))
     degenerate = np.zeros(N_PAIRS, dtype=bool)
+    polys = np.zeros((N_PAIRS, 10, 2))
+    poly_counts = np.zeros(N_PAIRS, dtype=np.int32)
 
     for k in range(N_PAIRS):
         l0 = th.tensor(tri[tid[k], 0], dtype=th.float64, requires_grad=True)
@@ -104,6 +106,18 @@ def main():
             print(f"pair {k}: {e}")
             continue
         area = out[0]
+        # Second return: the clip polygon (walk emission order) / the four
+        # pixel corners (containment) / [] (separated) -- the same contract
+        # our pyrenderer mirror reproduces.
+        pg = out[1]
+        if isinstance(pg, th.Tensor):
+            pgn = pg.detach().numpy().reshape(-1, 2)
+        elif len(pg):
+            pgn = np.stack([q.detach().numpy() for q in pg])
+        else:
+            pgn = np.zeros((0, 2))
+        poly_counts[k] = pgn.shape[0]
+        polys[k, : pgn.shape[0]] = pgn
         if isinstance(area, th.Tensor):
             if area.requires_grad:
                 area.backward()
@@ -120,6 +134,7 @@ def main():
         OUT,
         tri_verts=tri, pix_min=pix_min, pix_max=pix_max,
         tid=tid, pid=pid, area=areas, grad=grads, degenerate=degenerate,
+        poly=polys, poly_count=poly_counts,
         seed=np.int64(SEED),
     )
     n_zero = int((areas == 0).sum())

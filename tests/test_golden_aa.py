@@ -54,3 +54,38 @@ def test_overlap_grad_matches_reference_golden(golden):
     np.testing.assert_allclose(grad, want, atol=2e-4)
     # The fixture must actually exercise the gradient path.
     assert (np.abs(want).sum(axis=(1, 2)) > 0).sum() > 100
+
+
+def test_clip_polygon_matches_reference_golden(golden):
+    """The padded vectorized polygon return must reproduce the reference's
+    recorded clip polygons -- same vertex COUNT and same emission ORDER
+    (DMesh++ consumes the polygon, so order is part of the API contract)."""
+    tv = golden["tri_verts"]
+    tris = pyr.Triangles(tv[:, 0], tv[:, 1], tv[:, 2])
+    pixs = pyr.Pixels(golden["pix_min"], golden["pix_max"])
+    ok = ~golden["degenerate"]
+    _area, (poly, count) = pyr.tri_pixel_overlap_area(
+        tris, pixs, golden["tid"][ok], golden["pid"][ok]
+    )
+    poly, count = np.asarray(poly), np.asarray(count)
+    want_poly = golden["poly"][ok]
+    want_count = golden["poly_count"][ok]
+
+    mismatched_order = 0
+    for i in range(count.shape[0]):
+        c, wc = int(count[i]), int(want_count[i])
+        assert c == wc, f"pair {i}: {c} verts vs reference {wc}"
+        if c == 0:
+            continue
+        got, want = poly[i, :c], want_poly[i, :c]
+        # Exact emission order first; tolerate a cyclic rotation only
+        # (never a reflection) and count how often it happens.
+        if np.abs(got - want).max() < 1e-4:
+            continue
+        rots = [np.abs(np.roll(want, -r, axis=0) - got).max()
+                for r in range(c)]
+        assert min(rots) < 1e-4, f"pair {i}: polygon differs beyond rotation"
+        mismatched_order += 1
+    # The walk is seeded the same way as the reference's: rotations should
+    # be rare-to-absent, and a regression that reverses winding fails hard.
+    assert mismatched_order <= count.shape[0] // 20, mismatched_order
