@@ -42,16 +42,20 @@ def main():
     args = ap.parse_args()
 
     hw, b = args.size, args.views
-    cfg = RasterConfig(
-        binning_capacity=1 << 18,
-        interpret=jax.default_backend() == "cpu",
-    )
-
     verts_np, faces_np = icosphere(3)
     faces = jnp.asarray(faces_np)
     f = faces.shape[0]
     mv, proj = orbit_cameras(b)
     mv, proj = jnp.asarray(mv), jnp.asarray(proj)
+    # Scene-probed static capacities (margin absorbs optimization-time
+    # vertex drift; Trainer warns if geometry ever outgrows them).
+    from dmesh2_renderer_tpu import suggest_config
+
+    cfg = suggest_config(
+        verts_np, faces_np, mv, proj, hw, hw,
+        base=RasterConfig(interpret=jax.default_backend() == "cpu"),
+        margin=2.0,
+    )
     it = jnp.ones((b, f), jnp.float32)
     bg = jnp.zeros((3,), jnp.float32)
 
@@ -101,7 +105,8 @@ def main():
         from dmesh2_renderer_tpu.train import save_checkpoint
 
         save_checkpoint(args.checkpoint, state)
-    print(f"final loss {float(loss):.6f} (saved {args.checkpoint})")
+    suffix = f" (saved {args.checkpoint})" if args.checkpoint else ""
+    print(f"final loss {float(loss):.6f}{suffix}")
 
 
 if __name__ == "__main__":
