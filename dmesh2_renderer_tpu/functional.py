@@ -106,3 +106,50 @@ def render(
     )
     depth = 1.0 - (depth_raw + 1.0) / 2.0
     return color, depth, aux
+
+
+def peel_pipeline(verts, faces, faces_existence, mv, proj, ray_o, ray_d,
+                  width: int, height: int, num_layers: int,
+                  config: RasterConfig | None = None):
+    """Depth-peel core shared by the class API and the sharded wrapper.
+
+    Bin by MIN face depth over the full frame (the layered orchestrator's
+    deviation from the renderer, ``renderer.cu:557-558, 603``), then L
+    extract-min passes (ops/peel.py). Returns (layers (B, H, W, L) int32,
+    counts (B, H, W) int32, (num_rendered, num_truncated)).
+    """
+    from dmesh2_renderer_tpu.ops.binning import bin_faces
+    from dmesh2_renderer_tpu.ops.peel import pack_peel_stream, peel_layers
+    from dmesh2_renderer_tpu.ops.reference import face_depth01
+
+    cfg = config or RasterConfig()
+    b = mv.shape[0]
+    verts_ndc, verts_image = G.compute_verts_ndc_image(
+        verts, mv, proj, width, height
+    )
+    tris = G.face_aa_triangles(verts_image, faces)
+    _, min_depth, _, alive = face_depth01(verts_ndc, faces)
+    patch_min = jnp.zeros((b, 2), jnp.int32)
+    binning = bin_faces(
+        tris.verts, min_depth, alive, patch_min, width, height,
+        cfg.binning_capacity, cfg.max_tiles_per_face,
+        num_giant_faces=cfg.num_giant_faces,
+        giant_tiles=cfg.giant_tiles,
+    )
+    stream = pack_peel_stream(binning.entry_bf, verts, faces, faces_existence)
+    layers, counts = peel_layers(
+        stream, binning.tile_starts, binning.tile_counts,
+        ray_o[:, 0, 0, :], ray_d, width, height, num_layers,
+        chunk=cfg.face_chunk, interpret=cfg.interpret,
+    )
+    return layers, counts, (binning.num_rendered, binning.num_truncated)
+
+
+def generate_layers(verts, faces, faces_existence, mv, proj,
+                    width: int, height: int, num_layers: int,
+                    config: RasterConfig | None = None):
+    """Functional depth peel over B full-frame views (jit/shard_map
+    friendly; the class form is ``models.LayeredRenderer.generate``)."""
+    ray_o, ray_d = G.init_rays(mv, proj, width, height)
+    return peel_pipeline(verts, faces, faces_existence, mv, proj, ray_o,
+                         ray_d, width, height, num_layers, config)

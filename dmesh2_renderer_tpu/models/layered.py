@@ -11,11 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from dmesh2_renderer_tpu import geometry as G
+from dmesh2_renderer_tpu.functional import peel_pipeline
 from dmesh2_renderer_tpu.models.renderer import Renderer
-from dmesh2_renderer_tpu.ops.binning import bin_faces
-from dmesh2_renderer_tpu.ops.peel import pack_peel_stream, peel_layers
-from dmesh2_renderer_tpu.ops.reference import face_depth01
 from dmesh2_renderer_tpu.utils.config import RasterConfig
 
 
@@ -34,33 +31,13 @@ class LayeredRenderer(Renderer):
             @jax.jit
             def gen(batch_mvp_idx, verts, faces, faces_existence,
                     mv_all, proj_all, ray_o_full, ray_d_full):
-                mv_sel = mv_all[batch_mvp_idx]
-                proj_sel = proj_all[batch_mvp_idx]
-                verts_ndc, verts_image = G.compute_verts_ndc_image(
-                    verts, mv_sel, proj_sel, width, height
+                layers, counts, (nr, nt) = peel_pipeline(
+                    verts, faces, faces_existence,
+                    mv_all[batch_mvp_idx], proj_all[batch_mvp_idx],
+                    ray_o_full[batch_mvp_idx], ray_d_full[batch_mvp_idx],
+                    width, height, num_layers, cfg,
                 )
-                tris = G.face_aa_triangles(verts_image, faces)
-                ray_o = ray_o_full[batch_mvp_idx]
-                ray_d = ray_d_full[batch_mvp_idx]
-                b = batch_mvp_idx.shape[0]
-                # Bin by min depth over the full frame (renderer.cu:557-558, 603).
-                _, min_depth, _, alive = face_depth01(verts_ndc, faces)
-                patch_min = jnp.zeros((b, 2), jnp.int32)
-                binning = bin_faces(
-                    tris.verts, min_depth, alive, patch_min, width, height,
-                    cfg.binning_capacity, cfg.max_tiles_per_face,
-                    num_giant_faces=cfg.num_giant_faces,
-                    giant_tiles=cfg.giant_tiles,
-                )
-                stream = pack_peel_stream(
-                    binning.entry_bf, verts, faces, faces_existence
-                )
-                layers, counts = peel_layers(
-                    stream, binning.tile_starts, binning.tile_counts,
-                    ray_o[:, 0, 0, :], ray_d, width, height, num_layers,
-                    chunk=cfg.face_chunk, interpret=cfg.interpret,
-                )
-                return layers, counts, binning.num_rendered, binning.num_truncated
+                return layers, counts, nr, nt
 
             self._gen_cache[num_layers] = gen
         return gen

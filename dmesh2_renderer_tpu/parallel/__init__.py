@@ -1,6 +1,7 @@
 from dmesh2_renderer_tpu.parallel.data_parallel import (
     RenderStats,
     SceneParams,
+    generate_layers_sharded,
     make_sharded_train_step,
     make_view_mesh,
     render_views_sharded,
@@ -17,6 +18,7 @@ from dmesh2_renderer_tpu.parallel.patch_parallel import (
 )
 
 __all__ = [
+    "generate_layers_sharded",
     "make_grid_train_step",
     "make_pixel_mesh",
     "render_pixels_sharded",

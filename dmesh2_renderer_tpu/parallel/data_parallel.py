@@ -144,3 +144,41 @@ def make_sharded_train_step(
         return params, opt_state, loss, stats
 
     return step
+
+
+def generate_layers_sharded(
+    mesh: Mesh,
+    verts, faces, faces_existence,
+    mv, proj,
+    width: int, height: int,
+    num_layers: int,
+    config: RasterConfig | None = None,
+    axis: str = "dp",
+):
+    """Depth-peel B views sharded across the mesh's view axis.
+
+    The peel is non-differentiable and per-view independent (the reference
+    runs it one kernel launch per batch, ``renderer.cu:509-674``), so view
+    sharding is exact: each chip peels its camera subset. Returns
+    (layers (B, H, W, L) int32, counts (B, H, W) int32,
+    (num_rendered, num_truncated) summed over shards).
+    """
+    from dmesh2_renderer_tpu.functional import generate_layers
+
+    config = config or RasterConfig()
+
+    def shard_fn(mv_s, proj_s):
+        layers, counts, (nr, nt) = generate_layers(
+            verts, faces, faces_existence, mv_s, proj_s,
+            width, height, num_layers, config,
+        )
+        return layers, counts, jax.lax.psum(nr, axis), jax.lax.psum(nt, axis)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(), P()),
+        check_vma=False,
+    )
+    layers, counts, nr, nt = fn(mv, proj)
+    return layers, counts, (nr, nt)

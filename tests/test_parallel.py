@@ -114,3 +114,28 @@ def test_sharded_train_step_decreases_loss():
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
     assert np.isfinite(losses).all()
+
+
+def test_sharded_peel_matches_single_device():
+    """View-sharded depth peel: face-ID layers are INTEGER output, so the
+    sharded result must equal the unsharded one exactly."""
+    from dmesh2_renderer_tpu.functional import generate_layers
+    from dmesh2_renderer_tpu.parallel.data_parallel import (
+        generate_layers_sharded,
+    )
+
+    b, hw, L = 2, 16, 4
+    verts, faces, _vc, _op, _it, mv, proj, _bg = _scene(b)
+    fe = jnp.ones((faces.shape[0],), jnp.int32)
+    cfg = RasterConfig(binning_capacity=1 << 12, interpret=True)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    l_sh, c_sh, (nr, nt) = generate_layers_sharded(
+        mesh, verts, faces, fe, mv, proj, hw, hw, L, cfg
+    )
+    l_ref, c_ref, (nr_ref, nt_ref) = generate_layers(
+        verts, faces, fe, mv, proj, hw, hw, L, cfg
+    )
+    np.testing.assert_array_equal(np.asarray(l_sh), np.asarray(l_ref))
+    np.testing.assert_array_equal(np.asarray(c_sh), np.asarray(c_ref))
+    assert int(nr) == int(nr_ref) and int(nt) == int(nt_ref)
+    assert int(c_ref.max()) >= 2  # the scene actually has layered hits
