@@ -153,3 +153,57 @@ def generate_layers(verts, faces, faces_existence, mv, proj,
     ray_o, ray_d = G.init_rays(mv, proj, width, height)
     return peel_pipeline(verts, faces, faces_existence, mv, proj, ray_o,
                          ray_d, width, height, num_layers, config)
+
+
+def render_banded(
+    verts, faces, verts_color, faces_opacity, faces_intense,
+    mv, proj, background,
+    width: int, height: int,
+    bands: int,
+    aa_temperature: float = 1.0,
+    config: RasterConfig | None = None,
+):
+    """Render B views in ``bands`` sequential horizontal bands (one chip).
+
+    Bounds PEAK memory instead of wall time: XLA compiles ONE band pipeline
+    and ``lax.map``s it over band origins, so the live buffers (emission
+    grid, sorted stream, framebuffers) are band-sized -- the single-chip
+    answer for frames whose full-frame capacities outgrow HBM (4K+, or
+    million-face scenes at large capacity). ``config.binning_capacity``
+    applies PER BAND (a band only bins faces overlapping it; see
+    ``suggest_config`` margins). The stitched result equals the full-frame
+    render exactly -- band compositing is per-pixel independent.
+
+    Multi-chip latency scaling of the same decomposition is
+    ``parallel.render_pixels_sharded``; this is its sequential,
+    memory-bounded sibling.
+
+    Returns (color (B, H, W, 3), depth in [0, 1], aux max/summed over
+    bands: num_rendered is a per-band MAX -- a per-band capacity gauge,
+    not a total -- while num_truncated sums).
+    """
+    import jax
+
+    if height % bands:
+        raise ValueError(f"height {height} must divide into {bands} bands")
+    band = height // bands
+    b = mv.shape[0]
+
+    def one(y0):
+        color, depth_raw, _final_t, aux = render_partial(
+            verts, faces, verts_color, faces_opacity, faces_intense,
+            mv, proj, background, width, height, aa_temperature, config,
+            patch_origin=(0, y0), patch_shape=(band, width),
+        )
+        return color, depth_raw, aux
+
+    ys = jnp.arange(bands, dtype=jnp.int32) * band
+    colors, draws, auxs = jax.lax.map(one, ys)
+    color = jnp.moveaxis(colors, 0, 1).reshape(b, height, width, 3)
+    depth_raw = jnp.moveaxis(draws, 0, 1).reshape(b, height, width)
+    aux = type(auxs)(
+        num_rendered=auxs.num_rendered.max(),
+        num_truncated=auxs.num_truncated.sum(),
+        num_grad_contributing=auxs.num_grad_contributing.max(),
+    )
+    return color, 1.0 - (depth_raw + 1.0) / 2.0, aux

@@ -225,3 +225,27 @@ def test_prep_modes_agree_end_to_end():
         np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g),
                                    rtol=2e-6, atol=2e-6)
+
+
+def test_banded_render_matches_full_frame():
+    """lax.map'ed band rendering (the memory-bounded single-chip path) must
+    stitch to the full-frame image exactly."""
+    from dmesh2_renderer_tpu.functional import render, render_banded
+
+    r, a, b, hw = _renderer()
+    args = (a["verts"], a["faces"], a["verts_color"], a["faces_opacity"],
+            a["faces_intense"], jnp.asarray(r.mv), jnp.asarray(r.proj),
+            a["background"])
+    c_full, d_full, _ = render(*args, hw, hw, 1.0, CFG)
+    c_band, d_band, aux = render_banded(*args, hw, hw, bands=4,
+                                        aa_temperature=1.0, config=CFG)
+    # atol: lax.map changes XLA fusion of the ray/blend math (observed
+    # ~1.3e-6 abs on background pixels); per-pixel math is identical.
+    np.testing.assert_allclose(np.asarray(c_band), np.asarray(c_full),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(d_band), np.asarray(d_full),
+                               atol=5e-6)
+    assert int(aux.num_truncated) == 0
+
+    with pytest.raises(ValueError, match="bands"):
+        render_banded(*args, hw, hw - 1, bands=4, config=CFG)
