@@ -16,52 +16,38 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
 
-def _probe_backend(timeout_s: float = 300.0) -> None:
-    """Fail fast (with a parseable artifact) when the TPU tunnel is down.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    Backend init through the axon tunnel HANGS indefinitely during outages
-    (observed: 5h+ on 2026-08-17) -- a bare run would burn the driver's
-    whole budget and leave no artifact (round-2 rc=124 failure mode). Probe
-    in a subprocess with a hard timeout; on failure emit one JSON line
-    saying WHY there is no measurement, then exit 0 so the line survives.
-    """
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return  # init completed (any backend; CPU hosts return instantly)
-    except subprocess.TimeoutExpired:
-        print(json.dumps({
-            "metric": "fwd+bwd Mpix/s, 1M tris @ 1080p, tau=1",
-            "value": 0.0,
-            "unit": "Mpix/s",
-            "vs_baseline": 0.0,
-            "error": f"jax backend init hung > {timeout_s:.0f}s "
-                     "(axon TPU tunnel outage); no measurement possible",
-            # Context only -- NOT a driver-captured measurement: the best
-            # builder-measured state, so an outage round still records
-            # where the pipeline stood (docs/DESIGN.md performance ledger).
-            "last_builder_measured": {
-                "value_mpix_s": 2.39,
-                "ms_per_iter": 866.8,
-                "provenance": "2026-08-17 benchmarks/profile_stages.py on "
-                              "the real chip, capacity 6.29M, exact cull + "
-                              "grad compaction (pre-outage round 3)",
-            },
-        }), flush=True)
-        raise SystemExit(0)
+from benchmarks.common import enable_compile_cache, probe_backend
 
-
-_probe_backend()
+probe_backend(artifact={
+    "metric": "fwd+bwd Mpix/s, 1M tris @ 1080p, tau=1",
+    "value": 0.0,
+    "unit": "Mpix/s",
+    "vs_baseline": 0.0,
+    # Context only -- NOT a driver-captured measurement: the best
+    # previously measured state, so an outage round still records where
+    # the pipeline stood (docs/DESIGN.md performance ledger).
+    "last_measured": {
+        "value_mpix_s": 2.757,
+        "ms_per_iter": 752.0,
+        "provenance": "BENCH_r04.json driver capture on the real chip "
+                      "(round-3 config at 4.19M capacity)",
+    },
+})
 
 import jax
 import jax.numpy as jnp
+
+# Persistent XLA compile cache: the 1M-scale pipeline's AOT compiles (the
+# multi-operand gradient sorts alone are ~12 min cold) ate BENCH_r04's
+# stage table and 4 of 5 configs. Warm runs load from disk instead
+# (technique proven in tests/conftest.py: 24.4 s -> 7.6 s per program).
+enable_compile_cache()
 
 from dmesh2_renderer_tpu.functional import render
 from dmesh2_renderer_tpu.utils.config import RasterConfig
@@ -228,26 +214,29 @@ def main():
     print(headline, flush=True)
 
     if on_tpu and os.environ.get("BENCH_HEADLINE_ONLY", "0") != "1":
-        _emit_stage_table(budget_s - (time.monotonic() - t_begin))
-        print(headline, flush=True)
-        from benchmarks import run as bench_suite
+        # Extras run under try/finally so the headline is the LAST line no
+        # matter where an exception (or budget exhaustion) lands -- without
+        # the round-4 stutter of re-emitting it after every extra line.
+        try:
+            _emit_stage_table(budget_s - (time.monotonic() - t_begin))
+            from benchmarks import run as bench_suite
 
-        # Config 5 (the 64-view optimization loop, BASELINE.md) runs FIRST
-        # among the extras: it is the one the driver artifact has never
-        # captured on a healthy chip round and the budget gate must not
-        # starve it behind 1-3.
-        for k in (5, 1, 2, 3):
-            left = budget_s - (time.monotonic() - t_begin)
-            if left < 120.0:
-                print(json.dumps({"config": f"{k}", "skipped": "budget"}),
-                      flush=True)
-            else:
-                try:
-                    getattr(bench_suite, f"config{k}")()
-                except Exception as e:  # pragma: no cover - diagnostic path
-                    print(json.dumps({"config": f"{k}",
-                                      "error": repr(e)[:300]}), flush=True)
-            # Keep the headline as the last parseable line at every point.
+            # Config 5 (the 64-view optimization loop, BASELINE.md) runs
+            # FIRST among the extras: it is the one the driver artifact had
+            # never captured on a healthy chip round before r05 and the
+            # budget gate must not starve it behind 1-3.
+            for k in (5, 1, 2, 3):
+                left = budget_s - (time.monotonic() - t_begin)
+                if left < 120.0:
+                    print(json.dumps({"config": f"{k}", "skipped": "budget"}),
+                          flush=True)
+                else:
+                    try:
+                        getattr(bench_suite, f"config{k}")()
+                    except Exception as e:  # pragma: no cover - diagnostic
+                        print(json.dumps({"config": f"{k}",
+                                          "error": repr(e)[:300]}), flush=True)
+        finally:
             print(headline, flush=True)
 
 

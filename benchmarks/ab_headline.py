@@ -6,6 +6,9 @@ on-chip decision tree queued during the round-3 outage (docs/DESIGN.md,
 benchmarks/tpu_queue.sh): grad_sort_mode, vertex_sort_mode, fwd/bwd
 subchunks, prep_mode. Winners get adopted as bench.py defaults.
 
+Results are also appended to benchmarks/results/ab_headline.jsonl (the
+committed on-chip evidence ledger) with a timestamp and backend tag.
+
 Run: python benchmarks/ab_headline.py [--iters N] [--variants a,b,...]
 """
 
@@ -16,8 +19,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks.common import enable_compile_cache, probe_backend
+
+# The tunnel outage playbook (bench.py): probe in a bounded subprocess
+# BEFORE importing jax, else an outage hangs this process 5h+ with no
+# artifact.
+probe_backend(artifact={"harness": "ab_headline", "value": 0.0})
+
 import jax
 import jax.numpy as jnp
+
+enable_compile_cache()
 
 from dmesh2_renderer_tpu.functional import render
 from dmesh2_renderer_tpu.utils.config import RasterConfig
@@ -33,6 +45,18 @@ VARIANTS = {
     "fused": {"prep_mode": "fused"},
 }
 
+_LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results", "ab_headline.jsonl")
+
+
+def _ledger_append(line: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(_LEDGER), exist_ok=True)
+        with open(_LEDGER, "a") as f:
+            f.write(json.dumps(line) + "\n")
+    except OSError:
+        pass  # the stdout line is the primary artifact
+
 
 def main():
     iters = 5
@@ -42,9 +66,19 @@ def main():
             iters = int(sys.argv[i + 1])
         if a == "--variants":
             names = sys.argv[i + 1].split(",")
+    unknown = [n for n in names if n not in VARIANTS]
+    if unknown:
+        print(json.dumps({"warning": "unknown variants skipped",
+                          "unknown": unknown,
+                          "known": list(VARIANTS)}), flush=True)
+        names = [n for n in names if n in VARIANTS]
 
-    width, height = 1920, 1080
-    verts_np, faces_np = triangle_soup(1_000_000, size=0.02)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        width, height, n_faces, capacity = 1920, 1080, 1_000_000, 32 * (1 << 17)
+    else:  # CPU smoke scale (interpret-mode 1M@1080p is infeasible)
+        width, height, n_faces, capacity = 256, 256, 1280, 1 << 14
+    verts_np, faces_np = triangle_soup(n_faces, size=0.02)
     mv, proj = orbit_cameras(1, radius=3.0)
     faces = jnp.asarray(faces_np)
     f = faces.shape[0]
@@ -56,14 +90,15 @@ def main():
     background = jnp.zeros((3,), jnp.float32)
     args = (verts, verts_color, faces_opacity, faces_intense)
 
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     results = {}
     for name in names:
         overrides = VARIANTS[name]
         config = RasterConfig(
-            binning_capacity=32 * (1 << 17),
+            binning_capacity=capacity,
             max_tiles_per_face=12, num_giant_faces=16384, giant_tiles=40,
             grad_compact_capacity=1 << 21, exact_tile_cull=True,
-            interpret=jax.default_backend() == "cpu",
+            interpret=not on_tpu,
             **overrides,
         )
 
@@ -87,15 +122,21 @@ def main():
         float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         dt = (time.perf_counter() - t0) / iters
         results[name] = dt * 1e3
-        print(json.dumps({
+        line = {
             "variant": name, "ms_per_iter": round(dt * 1e3, 1),
             "mpix_s": round(width * height / dt / 1e6, 3),
-            "compile_s": round(compile_s, 0), "overrides": overrides,
-        }), flush=True)
+            "compile_s": round(compile_s, 1), "overrides": overrides,
+        }
+        print(json.dumps(line), flush=True)
+        _ledger_append({"ts": stamp, "backend": jax.default_backend(),
+                        "iters": iters, **line})
 
-    best = min(results, key=results.get)
-    print(json.dumps({"best": best, "ms": round(results[best], 1)}),
-          flush=True)
+    if results:
+        best = min(results, key=results.get)
+        summary = {"best": best, "ms": round(results[best], 1)}
+        print(json.dumps(summary), flush=True)
+        _ledger_append({"ts": stamp, "backend": jax.default_backend(),
+                        **summary})
 
 
 if __name__ == "__main__":
