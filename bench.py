@@ -54,6 +54,11 @@ from dmesh2_renderer_tpu.utils.config import RasterConfig
 from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras, triangle_soup
 
 ASSUMED_BASELINE_MPIX_S = 62.0  # A100 CUDA est., see module docstring
+# Second normalization: the midpoint of DESIGN.md's structural 35-70 Mpix/s
+# estimate for the reference's per-pixel serial loop on A100 (the 62 sits at
+# the optimistic end). Reported alongside vs_baseline so the driver can
+# re-normalize against the defensible center instead of the upper bound.
+STRUCTURAL_MID_BASELINE_MPIX_S = 52.5
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 
@@ -207,8 +212,11 @@ def main():
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / ASSUMED_BASELINE_MPIX_S, 4),
+        "vs_baseline_structural_mid": round(
+            mpix_s / STRUCTURAL_MID_BASELINE_MPIX_S, 4),
         "ms_per_iter": round(dt * 1e3, 2),
         "baseline_assumed_mpix_s": ASSUMED_BASELINE_MPIX_S,
+        "baseline_structural_mid_mpix_s": STRUCTURAL_MID_BASELINE_MPIX_S,
         "backend": jax.default_backend(),
     })
     print(headline, flush=True)

@@ -16,6 +16,13 @@ import numpy as np
 
 import collections
 
+try:  # removed from the public jax.core namespace in jax 0.9
+    from jax._src.core import trace_state_clean as _trace_state_clean
+except ImportError:  # pragma: no cover - version drift fallback
+    def _trace_state_clean():
+        # Creating an array under an active trace yields a Tracer.
+        return not isinstance(jnp.zeros((), jnp.int32), jax.core.Tracer)
+
 # Bounded LRU on both layers: each by_digest entry pins two (3F,) int32
 # DEVICE arrays (~24 MB at 1M faces), and DMesh-style training rewires
 # topology at fixed F -- an unbounded cache would leak device memory one
@@ -56,10 +63,11 @@ def static_vertex_order(faces):
     import weakref
 
     idkey = id(faces)
+    in_trace = not _trace_state_clean()
     ent = _vertex_order_cache["by_id"].get(idkey)
     if ent is not None and ent[0]() is faces:
         _vertex_order_cache["by_id"].move_to_end(idkey)
-        return ent[1]
+        return _as_device(ent[1], in_trace)
     try:
         f = np.asarray(faces)
     except Exception:  # tracer
@@ -69,13 +77,33 @@ def static_vertex_order(faces):
     if out is None:
         vids = np.concatenate([f[:, 0], f[:, 1], f[:, 2]]).astype(np.int32)
         perm = np.argsort(vids, kind="stable").astype(np.int32)
-        out = (jnp.asarray(perm), jnp.asarray(vids[perm]))
+        # Cache NUMPY + a device slot filled only OUTSIDE traces: calling
+        # jnp.asarray under an active jit trace yields trace-LOCAL constant
+        # tracers, and caching those leaks them into the next trace
+        # (UnexpectedTracerError on the second jit using the same topology
+        # -- found by the round-5 on-chip A/B sweep, 2026-08-19).
+        out = {"np": (perm, vids[perm]), "dev": None}
     _lru_put(_vertex_order_cache["by_digest"], digest, out)
     try:
         _lru_put(_vertex_order_cache["by_id"], idkey, (weakref.ref(faces), out))
     except TypeError:
         pass
-    return out
+    return _as_device(out, in_trace)
+
+
+def _as_device(ent: dict, in_trace: bool):
+    """Return the cached order as arrays safe for the current trace state.
+
+    Outside any trace: memoize one device copy (eager callers reuse it every
+    step without re-uploading ~24 MB at 1M faces). Inside a trace: return
+    the numpy arrays -- XLA stages them as compile-time constants scoped to
+    THIS trace, so nothing trace-local is ever cached.
+    """
+    if in_trace:
+        return ent["np"]
+    if ent["dev"] is None:
+        ent["dev"] = tuple(jnp.asarray(a) for a in ent["np"])
+    return ent["dev"]
 
 
 def sort_rows_by_key(keys, cols, max_payloads: int = 15):

@@ -295,3 +295,27 @@ def test_static_vertex_order_cache_bounded():
     finally:
         segments._vertex_order_cache["by_digest"].clear()
         segments._vertex_order_cache["by_digest"].update(before)
+
+
+def test_static_vertex_order_safe_across_traces():
+    """The same topology used from TWO separate jit traces must not leak
+    trace-local constants through the digest cache (regression: the round-5
+    on-chip A/B sweep crashed with UnexpectedTracerError on its second
+    static-mode variant -- jnp.asarray under an active trace yields tracers,
+    which the cache then served to the next trace)."""
+    from dmesh2_renderer_tpu.utils import segments
+
+    faces = jnp.asarray(np.array([[0, 1, 2], [2, 1, 3]], np.int32))
+    x = jnp.arange(6, dtype=jnp.float32)
+
+    def use(x):
+        vperm, svids = segments.static_vertex_order(faces)
+        return jnp.sum(x[vperm]) + jnp.sum(svids.astype(jnp.float32))
+
+    a = jax.jit(use)(x)
+    b = jax.jit(lambda y: use(y) * 2.0)(x)  # distinct trace, same digest
+    np.testing.assert_allclose(float(b), 2 * float(a), rtol=1e-6)
+    # Eager call afterwards still works and returns device arrays.
+    vperm, svids = segments.static_vertex_order(faces)
+    assert isinstance(vperm, jax.Array) and not isinstance(
+        vperm, jax.core.Tracer)
