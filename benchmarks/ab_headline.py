@@ -42,6 +42,7 @@ VARIANTS = {
     "iota+static": {"grad_sort_mode": "iota", "vertex_sort_mode": "static"},
     "fwd2": {"fwd_subchunks": 2},
     "bwd2": {"bwd_subchunks": 2},
+    "fwd2+bwd2": {"fwd_subchunks": 2, "bwd_subchunks": 2},
     "fused": {"prep_mode": "fused"},
 }
 

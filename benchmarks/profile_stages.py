@@ -18,6 +18,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks.common import enable_compile_cache
+
+enable_compile_cache()
+
 from dmesh2_renderer_tpu.utils.config import RasterConfig
 from dmesh2_renderer_tpu.utils.meshes import orbit_cameras, triangle_soup
 from dmesh2_renderer_tpu.utils.profiling import profile_render

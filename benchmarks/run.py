@@ -20,6 +20,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks.common import enable_compile_cache
+
+enable_compile_cache()
+
 from dmesh2_renderer_tpu.functional import render
 from dmesh2_renderer_tpu.models.layered import LayeredRenderer
 from dmesh2_renderer_tpu.parallel.data_parallel import (
