@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from dmesh2_renderer_tpu import geometry as G
 from dmesh2_renderer_tpu.ops.rasterize import make_rasterizer
 from dmesh2_renderer_tpu.utils.config import RasterConfig
-from dmesh2_renderer_tpu.utils.segments import static_vertex_order
+from dmesh2_renderer_tpu.utils.segments import static_vertex_table
 from dmesh2_renderer_tpu.utils.validate import valence_cache
 
 
@@ -57,16 +57,19 @@ def render_partial(
     ray_o, ray_d = G.init_rays(mv, proj, width, height,
                                origin=patch_origin, shape=patch_shape)
     verts_ndc, verts_image = G.compute_verts_ndc_image(verts, mv, proj, width, height)
-    valence_cache.check(faces, config.max_vertex_valence)
-    vperm, svids = (static_vertex_order(faces)
-                    if config.vertex_sort_mode == "static" else (None, None))
+    vtable = (static_vertex_table(faces, verts.shape[0])
+              if config.vertex_sort_mode == "static" else None)
+    if vtable is None:
+        # The valence-table path is exact for any valence; only the sort +
+        # bounded-scan path needs the truncation guard.
+        valence_cache.check(faces, config.max_vertex_valence)
     if config.prep_mode == "fused":
         # AA corners ride the rasterizer's consolidated corner gather
         # (RasterConfig.prep_mode docstring).
         aa_verts, img = None, verts_image
     else:
         aa_verts = G.face_aa_verts_ccw(verts_image, faces,
-                                       config.max_vertex_valence, vperm, svids)
+                                       config.max_vertex_valence, vtable)
         img = None
     if patch_origin is None:
         patch_min = jnp.zeros((b, 2), jnp.int32)
@@ -80,7 +83,7 @@ def render_partial(
     rasterize = make_rasterizer(pw, ph, float(aa_temperature), config)
     return rasterize(
         verts, verts_color, faces_opacity, verts_ndc, faces_intense, aa_verts,
-        faces, background, patch_min, ray_o[:, 0, 0, :], ray_d, vperm, svids,
+        faces, background, patch_min, ray_o[:, 0, 0, :], ray_d, vtable,
         img,
     )
 

@@ -221,7 +221,7 @@ def _face_aa_verts_impl(verts_image, faces):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def face_aa_verts_ccw(verts_image, faces, max_vertex_valence: int = 256,
-                      vperm=None, svids=None):
+                      vtable=None):
     """CCW screen-space AA triangles (B, F, 3, 2) -- the rasterizer input.
 
     Value-identical to ``face_aa_triangles(verts_image, faces).verts``, but
@@ -235,22 +235,23 @@ def face_aa_verts_ccw(verts_image, faces, max_vertex_valence: int = 256,
     governs every valence-bounded reduction (callers with concrete ``faces``
     can verify via ``utils.validate.check_vertex_valence``).
 
-    ``vperm``/``svids`` (optional): the host-precomputed stable vertex order
-    from ``utils.segments.static_vertex_order(faces)``; when given, the
-    backward's 3F-row runtime sort becomes a fixed permutation gather
-    (RasterConfig.vertex_sort_mode="static").
+    ``vtable`` (optional): the host-precomputed (V, maxval) valence table
+    from ``utils.segments.static_vertex_table(faces, P)``; when given, the
+    backward's 3F-row runtime sort + scan + tails become a fixed table
+    gather + dense sum (RasterConfig.vertex_sort_mode="static"), exact for
+    any valence.
     """
     return _face_aa_verts_impl(verts_image, faces)[0]
 
 
 def _face_aa_verts_fwd(verts_image, faces, max_vertex_valence: int = 256,
-                       vperm=None, svids=None):
+                       vtable=None):
     out, neg = _face_aa_verts_impl(verts_image, faces)
-    return out, (neg, faces, verts_image.shape[1], vperm, svids)
+    return out, (neg, faces, verts_image.shape[1], vtable)
 
 
 def aa_cotangent_to_verts_image(g, neg, faces, num_verts, max_vertex_valence,
-                                vperm=None, svids=None):
+                                vtable=None):
     """Reduce an AA-corner cotangent (B, F, 3, 2) onto d verts_image (B, P, 2).
 
     The shared backward of the screen-space AA corner gather: un-swap the
@@ -265,6 +266,7 @@ def aa_cotangent_to_verts_image(g, neg, faces, num_verts, max_vertex_valence,
         segment_tails,
         segmented_prefix_sum,
         sort_rows_by_key,
+        vertex_table_reduce,
     )
 
     b, f = neg.shape
@@ -276,28 +278,28 @@ def aa_cotangent_to_verts_image(g, neg, faces, num_verts, max_vertex_valence,
         [gk.transpose(1, 0, 2).reshape(f, 2 * b) for gk in (g0, g1, g2)],
         axis=0,
     )                                                 # (3F, 2B)
-    if vperm is not None:
-        # Static topology order (utils/segments.static_vertex_order): one
-        # fixed row-gather instead of the runtime payload sort.
-        sv = svids
-        gg = contrib[vperm]
-        contrib_pieces = [gg[:, s:s + 15] for s in range(0, 2 * b, 15)]
+    if vtable is not None:
+        # Static topology (utils/segments.static_vertex_table): one fixed
+        # valence-table gather + dense sum instead of sort + scan + tails.
+        pieces = ([contrib] if 2 * b <= 15 else
+                  [contrib[:, s:s + 15] for s in range(0, 2 * b, 15)])
+        d_img = vertex_table_reduce(pieces, vtable, num_verts)
     else:
         vids = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
         sv, contrib_pieces = sort_rows_by_key(
             vids, [contrib[:, i] for i in range(2 * b)]
         )
-    accs = [segmented_prefix_sum(cp, sv, min(3 * f, max_vertex_valence))
-            for cp in contrib_pieces]
-    d_img = segment_tails(accs, sv, num_verts)        # (P, 2B)
+        accs = [segmented_prefix_sum(cp, sv, min(3 * f, max_vertex_valence))
+                for cp in contrib_pieces]
+        d_img = segment_tails(accs, sv, num_verts)    # (P, 2B)
     return d_img.reshape(num_verts, b, 2).transpose(1, 0, 2)
 
 
 def _face_aa_verts_bwd(max_vertex_valence, res, g):
-    neg, faces, p, vperm, svids = res
+    neg, faces, p, vtable = res
     d_img = aa_cotangent_to_verts_image(g, neg, faces, p, max_vertex_valence,
-                                        vperm, svids)
-    return d_img, None, None, None
+                                        vtable)
+    return d_img, None, None
 
 
 face_aa_verts_ccw.defvjp(_face_aa_verts_fwd, _face_aa_verts_bwd)

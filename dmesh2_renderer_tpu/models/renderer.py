@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from dmesh2_renderer_tpu import geometry as G
 from dmesh2_renderer_tpu.ops.rasterize import make_rasterizer
 from dmesh2_renderer_tpu.utils.config import RasterConfig
-from dmesh2_renderer_tpu.utils.segments import static_vertex_order
+from dmesh2_renderer_tpu.utils.segments import static_vertex_table
 from dmesh2_renderer_tpu.utils.validate import (
     check_cameras,
     check_render_args,
@@ -65,7 +65,7 @@ class Renderer:
             @jax.jit
             def fwd(verts, faces, verts_color, faces_opacity, faces_intense,
                     background, mv_all, proj_all, batch_mvp_idx, batch_patch_min,
-                    ray_o_full, ray_d_full, vperm, svids):
+                    ray_o_full, ray_d_full, vtable):
                 b_mv = mv_all[batch_mvp_idx]
                 b_proj = proj_all[batch_mvp_idx]
                 verts_ndc, verts_image = G.compute_verts_ndc_image(
@@ -78,7 +78,7 @@ class Renderer:
                 else:
                     aa_verts = G.face_aa_verts_ccw(
                         verts_image, faces, self.config.max_vertex_valence,
-                        vperm, svids,
+                        vtable,
                     )
                     img = None
                 ray_o, ray_d = G.select_rays(
@@ -88,7 +88,7 @@ class Renderer:
                 color, depth_raw, _final_t, aux = rasterize(
                     verts, verts_color, faces_opacity, verts_ndc,
                     faces_intense, aa_verts, faces, background,
-                    batch_patch_min, ray_o[:, 0, 0, :], ray_d, vperm, svids,
+                    batch_patch_min, ray_o[:, 0, 0, :], ray_d, vtable,
                     img,
                 )
                 return color, 1.0 - (depth_raw + 1.0) / 2.0, aux
@@ -131,12 +131,14 @@ class Renderer:
         # per-frame device->host transfer + sha1 of the full buffer.
         # Callers that mutate the faces buffer IN PLACE should re-check
         # themselves.
-        valence_cache.check(faces, self.config.max_vertex_valence)
-        # Host-precomputed vertex order (cached per topology, same raw-object
-        # reasoning): turns the backward's 3F-row sorts into fixed gathers.
-        vperm, svids = (static_vertex_order(faces)
-                        if self.config.vertex_sort_mode == "static"
-                        else (None, None))
+        # Host-precomputed valence table (cached per topology, same
+        # raw-object reasoning): turns the backward's 3F-row sorts + scans
+        # into one fixed gather + dense sum, exact for any valence. Only the
+        # runtime-sort path needs the bounded-scan truncation guard.
+        vtable = (static_vertex_table(faces, verts.shape[0])
+                  if self.config.vertex_sort_mode == "static" else None)
+        if vtable is None:
+            valence_cache.check(faces, self.config.max_vertex_valence)
         faces = jnp.asarray(faces, dtype=jnp.int32)
 
         fwd = self._get_fwd(int(patch_width), int(patch_height),
@@ -154,8 +156,7 @@ class Renderer:
             batch_patch_min,
             self.ray_o,
             self.ray_d,
-            vperm,
-            svids,
+            vtable,
         )
         self.last_aux = aux
         if self.config.warn_on_overflow:

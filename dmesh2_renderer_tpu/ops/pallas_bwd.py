@@ -557,10 +557,9 @@ def scatter_entry_grads(
                                # contributing_mask); None = keep everything
     compact_capacity: int | None = None,  # static post-sort prefix length
     sort_mode: str = "payload",  # "payload" | "iota" (see sort comment)
-    vperm=None,                # (3F,) int32 host-precomputed stable argsort
-                               # of the corner vertex ids (utils/segments.
-                               # static_vertex_order); None = runtime sort
-    svids=None,                # (3F,) int32 vertex ids in vperm order
+    vtable=None,               # (V, maxval) int32 host-precomputed valence
+                               # table (utils/segments.static_vertex_table);
+                               # None = runtime sort
 ):
     """Deterministic reduction of per-entry grads to the six input tensors.
 
@@ -704,21 +703,24 @@ def scatter_entry_grads(
         ],
         axis=0,
     )                                                          # (3F, 6 + B)
-    if vperm is not None:
-        # Static topology order: the runtime 3F-row payload sort collapses
-        # to one fixed row-gather (faces never changes across steps;
-        # utils/segments.static_vertex_order docstring).
-        sv = svids
-        g = contrib[vperm]
-        contrib_pieces = [g[:, s:s + 15] for s in range(0, 6 + n_batch, 15)]
+    if vtable is not None:
+        # Static topology: the whole sort + segmented scan + segment tails
+        # collapses to one fixed valence-table row-gather + a dense sum
+        # (80 -> 21 ms at the 1M-face headline; utils/segments.
+        # static_vertex_table docstring). Exact for any valence.
+        from dmesh2_renderer_tpu.utils.segments import vertex_table_reduce
+
+        pieces = ([contrib] if 6 + n_batch <= 15 else
+                  [contrib[:, s:s + 15] for s in range(0, 6 + n_batch, 15)])
+        d_vert_all = vertex_table_reduce(pieces, vtable, n_verts)
     else:
         vids = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
         sv, contrib_pieces = sort_rows_by_key(
             vids, [contrib[:, i] for i in range(6 + n_batch)]
         )
-    vaccs = [_segmented_prefix_sum(p, sv, min(3 * f, max_vertex_valence))
-             for p in contrib_pieces]
-    d_vert_all = _segment_tails(vaccs, sv, n_verts)            # (P, 6 + B)
+        vaccs = [_segmented_prefix_sum(p, sv, min(3 * f, max_vertex_valence))
+                 for p in contrib_pieces]
+        d_vert_all = _segment_tails(vaccs, sv, n_verts)        # (P, 6 + B)
     d_verts = d_vert_all[:, 0:3]
     d_vcolor = d_vert_all[:, 3:6]
     d_vndc_z = d_vert_all[:, 6:6 + n_batch].T

@@ -61,7 +61,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
         rasterize(verts, verts_color, faces_opacity, verts_ndc,
                   faces_intense, aa_face_verts,
                   faces, background, patch_min, ray_o_cam, ray_d,
-                  vperm=None, svids=None)
+                  vtable=None)
         -> (color, depth_raw, final_t, RasterAux)
 
     with gradients defined for the first six arguments, matching the six
@@ -71,10 +71,10 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
     compositing possible (parallel/face_parallel.py), and its cotangent
     rides the backward kernel's existing -T/(1-a) background-term path.
 
-    ``vperm``/``svids`` (optional) are the host-precomputed static vertex
-    order from ``utils.segments.static_vertex_order(faces)``; when given,
-    the backward's face->vertex reduction gathers through the fixed
-    permutation instead of running a 3F-row sort
+    ``vtable`` (optional) is the host-precomputed (V, maxval) valence table
+    from ``utils.segments.static_vertex_table(faces, P)``; when given, the
+    backward's face->vertex reductions collapse to a fixed table gather +
+    dense sum instead of a 3F-row sort + segmented scan + tails
     (RasterConfig.vertex_sort_mode="static").
 
     With ``config.prep_mode == "fused"``, callers pass ``aa_face_verts=None``
@@ -125,7 +125,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
 
     def rasterize_fwd_impl(verts, verts_color, faces_opacity, verts_ndc,
                            faces_intense, aa_face_verts, faces, background,
-                           patch_min, ray_o_cam, ray_d, vperm, svids,
+                           patch_min, ray_o_cam, ray_d, vtable,
                            verts_image):
         if not config.use_pallas:
             if fused_prep:
@@ -162,25 +162,25 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
     @jax.custom_vjp
     def rasterize(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
                   aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
-                  vperm=None, svids=None, verts_image=None):
+                  vtable=None, verts_image=None):
         out, _ = rasterize_fwd_impl(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
-            vperm, svids, verts_image,
+            vtable, verts_image,
         )
         return out
 
     def fwd(verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
-            vperm=None, svids=None, verts_image=None):
+            vtable=None, verts_image=None):
         out, residuals = rasterize_fwd_impl(
             verts, verts_color, faces_opacity, verts_ndc, faces_intense,
             aa_face_verts, faces, background, patch_min, ray_o_cam, ray_d,
-            vperm, svids, verts_image,
+            vtable, verts_image,
         )
         saved = (residuals, verts, verts_color, faces_opacity, verts_ndc,
                  faces_intense, aa_face_verts, faces, background, patch_min,
-                 ray_o_cam, ray_d, vperm, svids, verts_image)
+                 ray_o_cam, ray_d, vtable, verts_image)
         return out, saved
 
     def bwd(saved, cotangents):
@@ -188,7 +188,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
         g_final_t = jnp.zeros_like(g_depth) if g_final_t is None else g_final_t
         (residuals, verts, verts_color, faces_opacity, verts_ndc,
          faces_intense, aa_face_verts, faces, background, patch_min,
-         ray_o_cam, ray_d, vperm, svids, verts_image) = saved
+         ray_o_cam, ray_d, vtable, verts_image) = saved
 
         if not config.use_pallas:
             def f(v, c, o, nz, it, aa_or_img):
@@ -211,8 +211,8 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             d6 = vjp((g_color, g_depth, g_final_t))
             if fused_prep:
                 return (*d6[:5], None, None, None, None, None, None, None,
-                        None, d6[5])
-            return (*d6, None, None, None, None, None, None, None, None)
+                        d6[5])
+            return (*d6, None, None, None, None, None, None, None)
 
         (stream, entry_bf, starts, counts, giant_ids, nc_tile,
          color, depth, final_t, prev_t, neg) = residuals
@@ -249,7 +249,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             giant_seg_len=config.max_tiles_per_face + kt2,
             keep=keep, compact_capacity=config.grad_compact_capacity,
             sort_mode=config.grad_sort_mode,
-            vperm=vperm, svids=svids,
+            vtable=vtable,
         )
         d_vndc = jnp.zeros_like(verts_ndc).at[..., 2].set(d_vndc_z)
         if fused_prep:
@@ -257,12 +257,12 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
 
             d_img = aa_cotangent_to_verts_image(
                 d_aa, neg, faces, verts_image.shape[1],
-                config.max_vertex_valence, vperm, svids,
+                config.max_vertex_valence, vtable,
             )
             return (d_verts, d_vcolor, d_op, d_vndc, d_int, None,
-                    None, None, None, None, None, None, None, d_img)
+                    None, None, None, None, None, None, d_img)
         return (d_verts, d_vcolor, d_op, d_vndc, d_int, d_aa,
-                None, None, None, None, None, None, None, None)
+                None, None, None, None, None, None, None)
 
     rasterize.defvjp(fwd, bwd)
     return rasterize

@@ -152,14 +152,18 @@ class RasterConfig:
     # worthwhile with grad_compact_capacity set). Per-site measurement
     # decides (benchmarks/micro_scatter_stages.py).
     grad_sort_mode: str = "payload"
-    # How face->shared-vertex gradient reductions order their 3F rows:
-    # "sort" runs the runtime payload sort (utils/segments.sort_rows_by_key);
-    # "static" replaces it with a host-precomputed stable permutation of the
-    # concrete ``faces`` (utils/segments.static_vertex_order) -- one fixed
-    # row-gather instead of an O(3F log 3F) device sort every backward, at
-    # both reduction sites (ops/pallas_bwd.scatter_entry_grads and
+    # How face->shared-vertex gradient reductions aggregate their 3F rows:
+    # "sort" runs the runtime payload sort + valence-bounded segmented scan
+    # + segment tails (utils/segments.sort_rows_by_key); "static" replaces
+    # the whole chain with a host-precomputed (V, maxval) valence-table
+    # gather + dense sum over the concrete ``faces`` (utils/segments.
+    # static_vertex_table) -- measured 80 -> 21 ms at the 1M-face headline,
+    # exact for ANY valence (no max_vertex_valence truncation) -- at both
+    # reduction sites (ops/pallas_bwd.scatter_entry_grads and
     # geometry.face_aa_verts_ccw). Falls back to "sort" when faces reaches
-    # the op as a tracer with no precomputed order plumbed through.
+    # the op as a tracer with no precomputed table plumbed through, or when
+    # the topology's valence distribution is so skewed the padded table
+    # would exceed 4x the 3F corner rows.
     vertex_sort_mode: str = "sort"
     # Renderer.forward checks the overflow counter after each call and warns
     # when binning truncated instances (missing geometry). Costs one scalar

@@ -86,11 +86,11 @@ def profile_render(
     b = mv.shape[0]
     pm = jnp.zeros((b, 2), jnp.int32)
     if cfg.vertex_sort_mode == "static":
-        from dmesh2_renderer_tpu.utils.segments import static_vertex_order
+        from dmesh2_renderer_tpu.utils.segments import static_vertex_table
 
-        vperm, svids = static_vertex_order(faces)
+        vtable = static_vertex_table(faces, verts.shape[0])
     else:
-        vperm, svids = None, None
+        vtable = None
 
     def say(name, ms):
         if verbose:
@@ -117,8 +117,7 @@ def profile_render(
             aa_verts = jnp.stack([p0, q1, q2], axis=-2)
         else:
             aa_verts = G.face_aa_verts_ccw(verts_image, faces,
-                                           cfg.max_vertex_valence, vperm,
-                                           svids)
+                                           cfg.max_vertex_valence, vtable)
             v9, c9, z = gather_face_corners(verts, verts_color, verts_ndc,
                                             faces)
         depth01, _, _, alive = ref_ops.face_depth01_from_z(z)
@@ -202,7 +201,7 @@ def profile_render(
             giant_ids=gid if cfg.num_giant_faces > 0 else None,
             giant_seg_len=cfg.max_tiles_per_face + kt2,
             keep=keep, compact_capacity=cfg.grad_compact_capacity,
-            sort_mode=cfg.grad_sort_mode, vperm=vperm, svids=svids)
+            sort_mode=cfg.grad_sort_mode, vtable=vtable)
 
     _, t_scatter = time_jitted(
         scatter_stage, grad_records, binning.entry_bf, binning.giant_ids,

@@ -23,8 +23,8 @@ except ImportError:  # pragma: no cover - version drift fallback
         # Creating an array under an active trace yields a Tracer.
         return not isinstance(jnp.zeros((), jnp.int32), jax.core.Tracer)
 
-# Bounded LRU on both layers: each by_digest entry pins two (3F,) int32
-# DEVICE arrays (~24 MB at 1M faces), and DMesh-style training rewires
+# Bounded LRU on both layers: each by_digest entry pins a (V, maxval) int32
+# table (~12 MB host + device at 1M faces), and DMesh-style training rewires
 # topology at fixed F -- an unbounded cache would leak device memory one
 # topology at a time. 4 live topologies covers any sane training loop.
 _VERTEX_ORDER_CACHE_SIZE = 4
@@ -42,27 +42,32 @@ def _lru_put(od: "collections.OrderedDict", key, value,
         od.popitem(last=False)
 
 
-def static_vertex_order(faces):
-    """Host-precomputed stable sort order of the 3F face-corner vertex ids.
+def static_vertex_table(faces, n_verts: int, max_rows_factor: int = 4):
+    """Host-precomputed (V, maxval) valence table into the 3F corner rows.
 
-    Every face->shared-vertex gradient reduction sorts the SAME 3F-row key
-    vector ``concat(faces[:,0], faces[:,1], faces[:,2])`` at runtime -- but
-    ``faces`` is topology, fixed across training steps and concrete at the
-    eager API boundary. Precomputing ``argsort`` on the host turns each
-    runtime 3F-row payload sort into a fixed permutation row-gather
-    (RasterConfig.vertex_sort_mode="static"; A/B per-site on chip --
-    benchmarks/micro_scatter_stages.py v2/v3 vs s6).
+    Row ``v`` lists the indices (into the ``concat(faces[:,0], faces[:,1],
+    faces[:,2])`` corner axis) of every face-corner incident to vertex
+    ``v``, padded with the sentinel ``3F``. ``faces`` is topology -- fixed
+    across training steps and concrete at the eager API boundary -- so the
+    whole face->shared-vertex gradient reduction collapses from a runtime
+    3F-row payload sort + segmented scan + segment tails (~80 ms at the 1M-
+    face headline) to ONE fixed row-gather + a dense ``maxval``-axis sum
+    (~21 ms measured: benchmarks/micro_scatter_stages.py v3 vs s6+s7,
+    2026-08-19). Exact for ANY valence -- no scan-depth truncation --
+    because ``maxval`` is the topology's true maximum valence.
 
-    Returns (vperm (3F,), sorted_vids (3F,)) int32 jnp arrays, or
-    (None, None) when ``faces`` is a tracer (inside jit with faces as an
-    argument -- callers fall back to the runtime sort). Results are memoized
-    on object identity with a content-digest backstop, like the valence
-    check (utils.validate).
+    Returns an int32 (V, maxval) array, or None when ``faces`` is a tracer
+    (inside jit with faces as an argument -- callers fall back to the
+    runtime sort) or when the table would exceed ``max_rows_factor * 3F``
+    rows (a pathologically skewed valence distribution would waste more
+    gather volume than the sort costs). Results are memoized on object
+    identity with a content-digest backstop, like the valence check
+    (utils.validate).
     """
     import hashlib
     import weakref
 
-    idkey = id(faces)
+    idkey = (id(faces), n_verts)
     in_trace = not _trace_state_clean()
     ent = _vertex_order_cache["by_id"].get(idkey)
     if ent is not None and ent[0]() is faces:
@@ -71,18 +76,30 @@ def static_vertex_order(faces):
     try:
         f = np.asarray(faces)
     except Exception:  # tracer
-        return None, None
-    digest = (f.shape, hashlib.sha1(np.ascontiguousarray(f).tobytes()).hexdigest())
+        return None
+    digest = (f.shape, n_verts,
+              hashlib.sha1(np.ascontiguousarray(f).tobytes()).hexdigest())
     out = _vertex_order_cache["by_digest"].get(digest)
     if out is None:
-        vids = np.concatenate([f[:, 0], f[:, 1], f[:, 2]]).astype(np.int32)
-        perm = np.argsort(vids, kind="stable").astype(np.int32)
-        # Cache NUMPY + a device slot filled only OUTSIDE traces: calling
-        # jnp.asarray under an active jit trace yields trace-LOCAL constant
-        # tracers, and caching those leaks them into the next trace
-        # (UnexpectedTracerError on the second jit using the same topology
-        # -- found by the round-5 on-chip A/B sweep, 2026-08-19).
-        out = {"np": (perm, vids[perm]), "dev": None}
+        nf3 = 3 * f.shape[0]
+        vids = np.concatenate([f[:, 0], f[:, 1], f[:, 2]]).astype(np.int64)
+        counts = np.bincount(vids, minlength=n_verts)
+        maxval = int(counts.max()) if nf3 else 1
+        if n_verts * max(maxval, 1) > max_rows_factor * max(nf3, 1):
+            out = {"np": None, "dev": None}
+        else:
+            order = np.argsort(vids, kind="stable")
+            sv = vids[order]
+            starts = np.zeros(n_verts + 1, np.int64)
+            np.cumsum(counts, out=starts[1:])
+            table = np.full((n_verts, maxval), nf3, np.int32)
+            table[sv, np.arange(nf3) - starts[sv]] = order.astype(np.int32)
+            # Cache NUMPY + a device slot filled only OUTSIDE traces:
+            # calling jnp.asarray under an active jit trace yields trace-
+            # LOCAL constant tracers, and caching those leaks them into the
+            # next trace (UnexpectedTracerError on the second jit using the
+            # same topology -- found by the round-5 on-chip A/B sweep).
+            out = {"np": table, "dev": None}
     _lru_put(_vertex_order_cache["by_digest"], digest, out)
     try:
         _lru_put(_vertex_order_cache["by_id"], idkey, (weakref.ref(faces), out))
@@ -92,18 +109,40 @@ def static_vertex_order(faces):
 
 
 def _as_device(ent: dict, in_trace: bool):
-    """Return the cached order as arrays safe for the current trace state.
+    """Return the cached table as an array safe for the current trace state.
 
     Outside any trace: memoize one device copy (eager callers reuse it every
-    step without re-uploading ~24 MB at 1M faces). Inside a trace: return
-    the numpy arrays -- XLA stages them as compile-time constants scoped to
+    step without re-uploading ~12 MB at 1M faces). Inside a trace: return
+    the numpy array -- XLA stages it as a compile-time constant scoped to
     THIS trace, so nothing trace-local is ever cached.
     """
+    if ent["np"] is None:
+        return None
     if in_trace:
         return ent["np"]
     if ent["dev"] is None:
-        ent["dev"] = tuple(jnp.asarray(a) for a in ent["np"])
+        ent["dev"] = jnp.asarray(ent["np"])
     return ent["dev"]
+
+
+def vertex_table_reduce(contrib, vtable, n_verts: int):
+    """Sum (3F, W) corner contributions onto (V, W) via the static table.
+
+    ``contrib`` may be one matrix or a list of column blocks; blocks are
+    gathered separately (narrow contiguous gathers beat wide ones -- the
+    XLA gather pathology, docs/DESIGN.md) and concatenated. The sentinel
+    row 3F gathers a zero row, so padded slots contribute nothing.
+    """
+    blocks = contrib if isinstance(contrib, (list, tuple)) else (contrib,)
+    maxval = vtable.shape[1]
+    idx = vtable.reshape(-1)
+    outs = []
+    for blk in blocks:
+        w = blk.shape[1]
+        padded = jnp.concatenate(
+            [blk, jnp.zeros((1, w), blk.dtype)], axis=0)
+        outs.append(padded[idx].reshape(n_verts, maxval, w).sum(axis=1))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def sort_rows_by_key(keys, cols, max_payloads: int = 15):

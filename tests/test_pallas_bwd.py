@@ -221,11 +221,11 @@ def test_scatter_sort_modes_agree():
                                    rtol=2e-6, atol=2e-6)
 
 
-def test_scatter_static_vertex_order_agrees():
-    """vertex_sort_mode="static" (host-precomputed permutation gather) must
-    reduce to the same six gradients as the runtime 3F-row payload sort --
-    both orders feed permutation-invariant per-segment sums."""
-    from dmesh2_renderer_tpu.utils.segments import static_vertex_order
+def test_scatter_static_vertex_table_agrees():
+    """vertex_sort_mode="static" (host-precomputed valence-table gather +
+    dense sum) must reduce to the same six gradients as the runtime 3F-row
+    payload sort -- both aggregate the same per-vertex contribution sets."""
+    from dmesh2_renderer_tpu.utils.segments import static_vertex_table
 
     rng = np.random.default_rng(7)
     f, b, r = 97, 2, 1024
@@ -233,18 +233,19 @@ def test_scatter_static_vertex_order_agrees():
     bf = b * f
     entry = jnp.asarray(rng.integers(0, bf, (r,)).astype(np.int32))
     recs = jnp.asarray(rng.normal(size=(r, 32)).astype(np.float32))
-    vperm, svids = static_vertex_order(faces)
+    vtable = static_vertex_table(faces, 60)
+    assert vtable is not None and vtable.shape[0] == 60
     base = jax.jit(lambda g, e: scatter_entry_grads(
         g, e, faces, 60, b, max_tiles_per_face=16))(recs, entry)
-    stat = jax.jit(lambda g, e, p, s: scatter_entry_grads(
+    stat = jax.jit(lambda g, e, t: scatter_entry_grads(
         g, e, faces, 60, b, max_tiles_per_face=16,
-        vperm=p, svids=s))(recs, entry, vperm, svids)
+        vtable=t))(recs, entry, vtable)
     for a, b_ in zip(base, stat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-6, atol=2e-6)
 
 
-def test_static_vertex_order_end_to_end_grads():
+def test_static_vertex_table_end_to_end_grads():
     """Full functional-path gradients with vertex_sort_mode="static" match
     the default runtime-sort mode (exercises BOTH reduction sites: the
     scatter and geometry.face_aa_verts_ccw's backward)."""
@@ -274,9 +275,9 @@ def test_static_vertex_order_end_to_end_grads():
                                rtol=2e-6, atol=2e-6)
 
 
-def test_static_vertex_order_cache_bounded():
-    """The host-precompute cache must evict: each entry pins two (3F,)
-    device arrays, and topology-rewiring training would otherwise leak
+def test_static_vertex_table_cache_bounded():
+    """The host-precompute cache must evict: each entry pins a (V, maxval)
+    device table, and topology-rewiring training would otherwise leak
     device memory one topology at a time."""
     from dmesh2_renderer_tpu.utils import segments
 
@@ -286,8 +287,8 @@ def test_static_vertex_order_cache_bounded():
         for k in range(segments._VERTEX_ORDER_CACHE_SIZE + 3):
             f = np.array([[0, 1, 2], [1, 2, 3 + k]], np.int32)
             tops.append(f)
-            vperm, svids = segments.static_vertex_order(f)
-            assert vperm.shape == (6,)
+            vtable = segments.static_vertex_table(f, 4 + k)
+            assert vtable.shape[0] == 4 + k
         assert (len(segments._vertex_order_cache["by_digest"])
                 <= segments._VERTEX_ORDER_CACHE_SIZE)
         assert (len(segments._vertex_order_cache["by_id"])
@@ -297,7 +298,7 @@ def test_static_vertex_order_cache_bounded():
         segments._vertex_order_cache["by_digest"].update(before)
 
 
-def test_static_vertex_order_safe_across_traces():
+def test_static_vertex_table_safe_across_traces():
     """The same topology used from TWO separate jit traces must not leak
     trace-local constants through the digest cache (regression: the round-5
     on-chip A/B sweep crashed with UnexpectedTracerError on its second
@@ -306,16 +307,51 @@ def test_static_vertex_order_safe_across_traces():
     from dmesh2_renderer_tpu.utils import segments
 
     faces = jnp.asarray(np.array([[0, 1, 2], [2, 1, 3]], np.int32))
-    x = jnp.arange(6, dtype=jnp.float32)
+    x = jnp.arange(7, dtype=jnp.float32)  # 3F=6 corner rows + sentinel
 
     def use(x):
-        vperm, svids = segments.static_vertex_order(faces)
-        return jnp.sum(x[vperm]) + jnp.sum(svids.astype(jnp.float32))
+        vtable = segments.static_vertex_table(faces, 4)
+        return jnp.sum(x[vtable])
 
     a = jax.jit(use)(x)
     b = jax.jit(lambda y: use(y) * 2.0)(x)  # distinct trace, same digest
     np.testing.assert_allclose(float(b), 2 * float(a), rtol=1e-6)
-    # Eager call afterwards still works and returns device arrays.
-    vperm, svids = segments.static_vertex_order(faces)
-    assert isinstance(vperm, jax.Array) and not isinstance(
-        vperm, jax.core.Tracer)
+    # Eager call afterwards still works and returns a device array.
+    vtable = segments.static_vertex_table(faces, 4)
+    assert isinstance(vtable, jax.Array) and not isinstance(
+        vtable, jax.core.Tracer)
+
+
+def test_static_vertex_table_contents():
+    """Table rows enumerate exactly each vertex's corner slots (sentinel-
+    padded), and vertex_table_reduce reproduces a dense scatter-add."""
+    from dmesh2_renderer_tpu.utils import segments
+
+    rng = np.random.default_rng(11)
+    f, v = 23, 17
+    faces = rng.integers(0, v, (f, 3)).astype(np.int32)
+    vtable = np.asarray(segments.static_vertex_table(faces, v))
+    vids = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    for vert in range(v):
+        got = sorted(i for i in vtable[vert] if i < 3 * f)
+        want = sorted(np.nonzero(vids == vert)[0].tolist())
+        assert got == want, f"vertex {vert}"
+    contrib = rng.normal(size=(3 * f, 5)).astype(np.float32)
+    want = np.zeros((v, 5), np.float32)
+    np.add.at(want, vids, contrib)
+    got = np.asarray(segments.vertex_table_reduce(
+        jnp.asarray(contrib), jnp.asarray(vtable), v))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_static_vertex_table_skew_fallback():
+    """A pathologically skewed valence distribution (one pole vertex in a
+    huge fan) must return None so callers fall back to the runtime sort
+    instead of materializing a (V, maxval) table larger than 4x3F."""
+    from dmesh2_renderer_tpu.utils import segments
+
+    n = 64  # fan: vertex 0 in every face, V = n + 1, maxval = n
+    faces = np.stack([np.zeros(n, np.int32),
+                      np.arange(1, n + 1, dtype=np.int32),
+                      np.roll(np.arange(1, n + 1, dtype=np.int32), 1)], 1)
+    assert segments.static_vertex_table(faces, 4 * n) is None
