@@ -160,6 +160,16 @@ def main():
     def v3_perm_rows(contrib):
         return sv_const, contrib[perm]
 
+    def s3m_tails_materialized(accs, sbf2):
+        # Candidate: force the scanned acc pieces into opaque contiguous
+        # tables (binning.materialize) before the tails gather -- the same
+        # trick that cut the pack gather 148 -> 104 ms. Decides whether
+        # XLA's gather from the scan's computed output is already at the
+        # parameter-table floor or still decomposed.
+        from dmesh2_renderer_tpu.ops.binning import materialize
+
+        return segment_tails([materialize(a) for a in accs], sbf2, bf)[:, :29]
+
     def s1b_iota_sort_gather(blocked, entry_bf, keep):
         # Round-2 rejected sort(key, iota) + full-R 29-col gather (261 vs
         # 176 ms). Compaction changes the math: the gather only needs the
@@ -177,6 +187,8 @@ def main():
            s2_face_scan, sbf2, pieces2)
     timeit("s3 face segment tails (2.1M -> 1M x 29)",
            s3_face_tails, accs, sbf2)
+    timeit("s3m tails from materialized acc tables",
+           s3m_tails_materialized, accs, sbf2)
     timeit("s4 giant ladder (8192 faces)",
            s4_ladder, accs, sbf2, d_face, giant_ids)
     timeit("s5 vertex contrib build (F -> 3F x 7)", s5_contrib, d_face)
