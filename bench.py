@@ -102,10 +102,14 @@ def build_step(width, height, n_faces, capacity, tau):
         exact_tile_cull=True,
         # A/B knobs for the on-chip decision tree (benchmarks/tpu_queue.sh):
         # flip without code edits, adopt as defaults once measured faster.
+        # Defaults = the measured winner of the round-5 on-chip A/B sweep
+        # (static+fwd2+bwd2, 681.7 ms vs base 753.6; DESIGN.md ledger +
+        # benchmarks/results/ab_headline.jsonl). iota and fused lost and
+        # stay reachable via env for re-measurement.
         grad_sort_mode=os.environ.get("BENCH_GRAD_SORT_MODE", "payload"),
-        vertex_sort_mode=os.environ.get("BENCH_VERTEX_SORT_MODE", "sort"),
-        fwd_subchunks=int(os.environ.get("BENCH_FWD_SUBCHUNKS", "1")),
-        bwd_subchunks=int(os.environ.get("BENCH_BWD_SUBCHUNKS", "1")),
+        vertex_sort_mode=os.environ.get("BENCH_VERTEX_SORT_MODE", "static"),
+        fwd_subchunks=int(os.environ.get("BENCH_FWD_SUBCHUNKS", "2")),
+        bwd_subchunks=int(os.environ.get("BENCH_BWD_SUBCHUNKS", "2")),
         prep_mode=os.environ.get("BENCH_PREP_MODE", "split"),
         interpret=jax.default_backend() == "cpu",
     )
@@ -152,6 +156,8 @@ def _emit_stage_table(budget_left_s: float):
             num_giant_faces=16384, giant_tiles=40,
             grad_compact_capacity=1 << 21,
             exact_tile_cull=True,
+            # Keep the stage table explaining the ADOPTED headline config.
+            vertex_sort_mode="static", fwd_subchunks=2, bwd_subchunks=2,
         )
         report = profile_render(
             verts, faces, jnp.abs(verts) % 1.0,

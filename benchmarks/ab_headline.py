@@ -44,6 +44,9 @@ VARIANTS = {
     "bwd2": {"bwd_subchunks": 2},
     "fwd2+bwd2": {"fwd_subchunks": 2, "bwd_subchunks": 2},
     "fused": {"prep_mode": "fused"},
+    "static+fwd2+bwd2": {"vertex_sort_mode": "static",
+                         "fwd_subchunks": 2, "bwd_subchunks": 2},
+    "static+bwd2": {"vertex_sort_mode": "static", "bwd_subchunks": 2},
 }
 
 _LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -48,11 +48,11 @@ def main():
                        grad_sort_mode=os.environ.get(
                            "BENCH_GRAD_SORT_MODE", "payload"),
                        vertex_sort_mode=os.environ.get(
-                           "BENCH_VERTEX_SORT_MODE", "sort"),
+                           "BENCH_VERTEX_SORT_MODE", "static"),
                        fwd_subchunks=int(os.environ.get(
-                           "BENCH_FWD_SUBCHUNKS", "1")),
+                           "BENCH_FWD_SUBCHUNKS", "2")),
                        bwd_subchunks=int(os.environ.get(
-                           "BENCH_BWD_SUBCHUNKS", "1")),
+                           "BENCH_BWD_SUBCHUNKS", "2")),
                        prep_mode=os.environ.get("BENCH_PREP_MODE", "split"),
                        interpret=jax.default_backend() == "cpu")
 

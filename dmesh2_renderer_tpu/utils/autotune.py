@@ -115,4 +115,11 @@ def suggest_config(
         max_tiles_per_face=kt,
         num_giant_faces=num_giant_faces,
         giant_tiles=giant_tiles,
+        # The probe was handed CONCRETE faces, so the static valence-table
+        # reduction applies (measured -7.5% e2e at the 1M headline; round-5
+        # A/B). Topology-dynamic loops that re-wire faces every step should
+        # override back to "sort" -- the per-topology host precompute would
+        # miss its cache each step. ``base`` wins if it already chose.
+        vertex_sort_mode=("static" if base.vertex_sort_mode == "sort"
+                          else base.vertex_sort_mode),
     )

@@ -151,7 +151,9 @@ def test_grad_compaction_matches_uncompacted():
     assert np.isfinite(np.asarray(g_tiny[0])).all()
 
 
-def test_bwd_subchunks_match_full_blocks():
+@pytest.mark.parametrize(
+    "sc", [2, pytest.param(4, marks=pytest.mark.slow)])
+def test_bwd_subchunks_match_full_blocks(sc):
     """bwd_subchunks in {2, 4} must reproduce the full-block backward's
     gradients to reassociation noise: piece boundaries only re-chunk the
     blend replay (carries move through VMEM scratch instead of loop state),
@@ -182,18 +184,19 @@ def test_bwd_subchunks_match_full_blocks():
                              args[7], 32, 32, 1.0, cfg)
         return jnp.sum(col * jnp.cos(col)) + jnp.sum(dep * 0.3)
 
+    # sc=4 (3+ piece iteration) rides the slow set; the fast set pins the
+    # piece-boundary logic with sc=2 (suite-budget trade, VERDICT r04 #9).
     grads = {}
-    for sc in (1, 2, 4):
+    for s in (1, sc):
         cfg = RasterConfig(binning_capacity=2048, interpret=True,
-                           bwd_subchunks=sc)
-        grads[sc] = jax.grad(loss, argnums=(0, 1, 2))(
+                           bwd_subchunks=s)
+        grads[s] = jax.grad(loss, argnums=(0, 1, 2))(
             args[0], args[2], args[3], cfg)
-    for sc in (2, 4):
-        for name, a, b in zip(("verts", "color", "op"), grads[sc], grads[1]):
-            got, want = np.asarray(a), np.asarray(b)
-            scale = max(np.abs(want).max(), 1.0)
-            err = np.abs(got - want).max()
-            assert err < 2e-5 * scale, f"sc={sc} {name}: {err:.3e}"
+    for name, a, b in zip(("verts", "color", "op"), grads[sc], grads[1]):
+        got, want = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(want).max(), 1.0)
+        err = np.abs(got - want).max()
+        assert err < 2e-5 * scale, f"sc={sc} {name}: {err:.3e}"
 
 
 def test_scatter_sort_modes_agree():
