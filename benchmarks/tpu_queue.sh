@@ -19,7 +19,7 @@ cd "$(dirname "$0")/.."
 LEDGER="benchmarks/results/queue_$(date -u +%Y%m%dT%H%M%SZ).log"
 mkdir -p benchmarks/results
 step() { echo "=== $* $(date -u +%H:%M:%SZ) ===" | tee -a "$LEDGER"; }
-run()  { "$@" 2>&1 | grep -v Platform | tee -a "$LEDGER"; }
+run()  { "$@" 2>&1 | grep --line-buffered -v Platform | tee -a "$LEDGER"; }
 
 step "waiting for TPU"
 up=0
