@@ -24,11 +24,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def make_kernel(l_iters: int, interpret: bool):
+    # The chain must be algebraically IRREDUCIBLE. A first draft used the
+    # affine recurrence x = x*a + b with loop-invariant (a, b); XLA's
+    # simplifier reassociated/strength-reduced it and reported 21-29
+    # "sustained Tops/s" -- 5-8x above the architectural VPU peak, i.e. the
+    # ops were never executed (measured 2026-08-19, kept here as a warning).
+    # The logistic-style quadratic map x = a - x*x has no closed form a
+    # compiler can exploit; 2 f32 ops (mul + sub) per element per iteration.
     def kernel(x_ref, o_ref):
         x = x_ref[...]
-        a = x * 1.0000001 + 0.3
+        a = x * 0.0000001 + 1.62
         for _ in range(l_iters):
-            x = x * a + 0.0000001
+            x = a - x * x
         o_ref[...] = x
 
     @jax.jit
@@ -64,9 +71,9 @@ def main():
     # XLA (non-Pallas) comparison point: the same chain under plain jit.
     @jax.jit
     def xla_chain(x):
-        a = x * 1.0000001 + 0.3
+        a = x * 0.0000001 + 1.62
         for _ in range(l_iters):
-            x = x * a + 0.0000001
+            x = a - x * x
         return x
 
     xla_chain(x).block_until_ready()
