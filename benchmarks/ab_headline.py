@@ -47,6 +47,8 @@ VARIANTS = {
     "static+fwd2+bwd2": {"vertex_sort_mode": "static",
                          "fwd_subchunks": 2, "bwd_subchunks": 2},
     "static+bwd2": {"vertex_sort_mode": "static", "bwd_subchunks": 2},
+    "static+fwd4+bwd4": {"vertex_sort_mode": "static",
+                         "fwd_subchunks": 4, "bwd_subchunks": 4},
 }
 
 _LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
