@@ -56,12 +56,17 @@ def main():
     n0, n1, l_iters, reps = 256, 256, 4096, 64
     x = jnp.ones((n0, n1), jnp.float32) * 0.5
     run = make_kernel(l_iters, interpret)
-    run(x).block_until_ready()
+    # block_until_ready is unreliable under the axon remote tunnel (returns
+    # before device execution completes -- the first drafts of this micro
+    # reported 21-39 "Tops/s", 5-10x the architectural peak, because the
+    # timed region never waited). A host readback of one scalar is the only
+    # reliable fence, exactly as bench.py's force().
+    float(run(x)[0, 0])
     t0 = time.perf_counter()
     y = x
     for _ in range(reps):
         y = run(y)
-    y.block_until_ready()
+    float(y[0, 0])
     dt = (time.perf_counter() - t0) / reps
     ops = 2.0 * n0 * n1 * l_iters  # 2 f32 ops (mul+add) per element per iter
     print(f"pallas fma chain: {dt * 1e6:.1f} us/call, "
@@ -76,12 +81,12 @@ def main():
             x = a - x * x
         return x
 
-    xla_chain(x).block_until_ready()
+    float(xla_chain(x)[0, 0])
     t0 = time.perf_counter()
     y = x
     for _ in range(reps):
         y = xla_chain(y)
-    y.block_until_ready()
+    float(y[0, 0])
     dt = (time.perf_counter() - t0) / reps
     print(f"xla fma chain:    {dt * 1e6:.1f} us/call, "
           f"{ops / dt / 1e12:.3f} sustained f32 Tops/s")
