@@ -57,3 +57,19 @@ def test_suggested_config_renders_without_truncation():
         # Capacity is scene-sized, not a blind default: within 4x of the
         # true emission need (margin + rounding), not orders of magnitude.
         assert cfg.binning_capacity <= 4 * max(int(aux.num_rendered), 1024)
+
+
+def test_suggest_config_selects_static_vertex_mode():
+    """suggest_config is always handed concrete faces, so it should pick the
+    measured-faster valence-table mode -- while honoring an explicit base
+    override to a non-default mode."""
+    import dataclasses
+
+    from dmesh2_renderer_tpu.utils.autotune import suggest_config
+    from dmesh2_renderer_tpu.utils.config import RasterConfig
+    from dmesh2_renderer_tpu.utils.meshes import icosphere, orbit_cameras
+
+    verts, faces = icosphere(1)
+    mv, proj = orbit_cameras(1)
+    cfg = suggest_config(verts, faces, mv, proj, 64, 64)
+    assert cfg.vertex_sort_mode == "static"

@@ -358,3 +358,25 @@ def test_static_vertex_table_skew_fallback():
                       np.arange(1, n + 1, dtype=np.int32),
                       np.roll(np.arange(1, n + 1, dtype=np.int32), 1)], 1)
     assert segments.static_vertex_table(faces, 4 * n) is None
+
+
+def test_scatter_static_table_wide_batch_agrees():
+    """n_batch > 9 makes the vertex contrib wider than one 15-column gather
+    piece -- the table path must split and still match the runtime sort."""
+    from dmesh2_renderer_tpu.utils.segments import static_vertex_table
+
+    rng = np.random.default_rng(19)
+    f, b, r = 53, 12, 512  # contrib width 6 + 12 = 18 -> two pieces
+    faces = jnp.asarray(rng.integers(0, 40, (f, 3)).astype(np.int32))
+    bf = b * f
+    entry = jnp.asarray(rng.integers(0, bf, (r,)).astype(np.int32))
+    recs = jnp.asarray(rng.normal(size=(r, 32)).astype(np.float32))
+    vtable = static_vertex_table(faces, 40)
+    base = jax.jit(lambda g, e: scatter_entry_grads(
+        g, e, faces, 40, b, max_tiles_per_face=16))(recs, entry)
+    stat = jax.jit(lambda g, e, t: scatter_entry_grads(
+        g, e, faces, 40, b, max_tiles_per_face=16,
+        vtable=t))(recs, entry, vtable)
+    for a, b_ in zip(base, stat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-6, atol=2e-6)
