@@ -33,10 +33,11 @@ probe_backend(artifact={
     # previously measured state, so an outage round still records where
     # the pipeline stood (docs/DESIGN.md performance ledger).
     "last_measured": {
-        "value_mpix_s": 2.757,
-        "ms_per_iter": 752.0,
-        "provenance": "BENCH_r04.json driver capture on the real chip "
-                      "(round-3 config at 4.19M capacity)",
+        "value_mpix_s": 3.046,
+        "ms_per_iter": 680.8,
+        "provenance": "2026-08-19 round-5 builder capture on the real chip "
+                      "(adopted static+fwd2+bwd2 config; benchmarks/results/"
+                      "r05_bench_driver_dryrun.log)",
     },
 })
 
