@@ -380,3 +380,36 @@ def test_scatter_static_table_wide_batch_agrees():
     for a, b_ in zip(base, stat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-6, atol=2e-6)
+
+
+def test_sort_split_and_tail_lowering_invariant():
+    """The face reduction is invariant to sort_rows_by_key's max_payloads
+    split (splits may permute rows WITHIN a key segment -- consumers are
+    per-segment sums) and to segment_tails' gather lowering (per-piece vs
+    one concatenated row gather of the same acc rows, which is exact).
+    Guards adopting a different split width / tail lowering from
+    benchmarks/micro_sort_split.py."""
+    from dmesh2_renderer_tpu.utils.segments import (
+        segment_tails, segmented_prefix_sum, sort_rows_by_key)
+
+    rng = np.random.default_rng(7)
+    r, n_seg, w = 2048, 97, 29
+    keys = jnp.asarray(rng.integers(0, n_seg, (r,)).astype(np.int32))
+    cols = [jnp.asarray(rng.normal(size=(r,)).astype(np.float32))
+            for _ in range(w)]
+
+    def face_sums(max_payloads, wide_tails):
+        sk, pieces = sort_rows_by_key(keys, cols, max_payloads=max_payloads)
+        accs = [segmented_prefix_sum(p, sk, 64) for p in pieces]
+        if wide_tails:
+            accs = jnp.concatenate(accs, axis=1)
+        return segment_tails(accs, sk, n_seg)[:, :w]
+
+    want = np.zeros((n_seg, w), np.float32)
+    np.add.at(want, np.asarray(keys), np.stack([np.asarray(c) for c in cols], 1))
+    base = face_sums(15, False)
+    np.testing.assert_allclose(np.asarray(base), want, rtol=2e-5, atol=2e-5)
+    for mp, wt in ((5, False), (8, True), (15, True), (29, False)):
+        got = face_sums(mp, wt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"P={mp} wide={wt}")
