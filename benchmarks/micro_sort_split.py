@@ -31,10 +31,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks.common import enable_compile_cache, probe_backend
+
+if "--cpu-smoke" not in sys.argv:
+    probe_backend()
+
 import jax
 
 if "--cpu-smoke" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
+# Multi-operand sorts at R=4.19M are multi-minute AOT compiles; reuse the
+# persistent bench cache so repeat sweeps are warm (benchmarks/common.py).
+enable_compile_cache()
 import jax.numpy as jnp
 
 from dmesh2_renderer_tpu.utils.segments import (
