@@ -108,6 +108,7 @@ def build_step(width, height, n_faces, capacity, tau):
         # benchmarks/results/ab_headline.jsonl). iota and fused lost and
         # stay reachable via env for re-measurement.
         grad_sort_mode=os.environ.get("BENCH_GRAD_SORT_MODE", "payload"),
+        grad_sort_split=int(os.environ.get("BENCH_GRAD_SORT_SPLIT", "15")),
         vertex_sort_mode=os.environ.get("BENCH_VERTEX_SORT_MODE", "static"),
         fwd_subchunks=int(os.environ.get("BENCH_FWD_SUBCHUNKS", "2")),
         bwd_subchunks=int(os.environ.get("BENCH_BWD_SUBCHUNKS", "2")),

@@ -49,6 +49,14 @@ VARIANTS = {
     "static+bwd2": {"vertex_sort_mode": "static", "bwd_subchunks": 2},
     "static+fwd4+bwd4": {"vertex_sort_mode": "static",
                          "fwd_subchunks": 4, "bwd_subchunks": 4},
+    # Gradient-sort split width (CPU micro: P=8 beat P=15 by ~26%;
+    # benchmarks/results/micro_sort_split.jsonl -- needs the on-chip vote).
+    "adopted+split8": {"vertex_sort_mode": "static",
+                       "fwd_subchunks": 2, "bwd_subchunks": 2,
+                       "grad_sort_split": 8},
+    "adopted+split10": {"vertex_sort_mode": "static",
+                        "fwd_subchunks": 2, "bwd_subchunks": 2,
+                        "grad_sort_split": 10},
 }
 
 _LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -557,6 +557,8 @@ def scatter_entry_grads(
                                # contributing_mask); None = keep everything
     compact_capacity: int | None = None,  # static post-sort prefix length
     sort_mode: str = "payload",  # "payload" | "iota" (see sort comment)
+    sort_split: int = 15,        # payload columns per split sort (and the
+                                 # gather-piece width on the iota path)
     vtable=None,               # (V, maxval) int32 host-precomputed valence
                                # table (utils/segments.static_vertex_table);
                                # None = runtime sort
@@ -632,12 +634,13 @@ def scatter_entry_grads(
         mask = (sbf < bf)[:, None]
         rec_pieces = [
             jnp.where(mask,
-                      jnp.stack([cols[i][pos] for i in range(s, s + 15)
-                                 if i < 29], axis=1), 0.0)
-            for s in (0, 15)
+                      jnp.stack([cols[i][pos]
+                                 for i in range(s, min(s + sort_split, 29))],
+                                axis=1), 0.0)
+            for s in range(0, 29, sort_split)
         ]
     else:
-        sbf, rec_pieces = sort_rows_by_key(key, cols)
+        sbf, rec_pieces = sort_rows_by_key(key, cols, max_payloads=sort_split)
         sbf = sbf[:r2]
         rec_pieces = [p[:r2] for p in rec_pieces]
         mask = (sbf < bf)[:, None]

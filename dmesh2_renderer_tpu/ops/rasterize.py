@@ -249,6 +249,7 @@ def make_rasterizer(patch_width: int, patch_height: int, aa_temperature: float,
             giant_seg_len=config.max_tiles_per_face + kt2,
             keep=keep, compact_capacity=config.grad_compact_capacity,
             sort_mode=config.grad_sort_mode,
+            sort_split=config.grad_sort_split,
             vtable=vtable,
         )
         d_vndc = jnp.zeros_like(verts_ndc).at[..., 2].set(d_vndc_z)

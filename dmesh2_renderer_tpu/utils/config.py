@@ -152,6 +152,14 @@ class RasterConfig:
     # worthwhile with grad_compact_capacity set). Per-site measurement
     # decides (benchmarks/micro_scatter_stages.py).
     grad_sort_mode: str = "payload"
+    # Payload-sort split width: how many gradient columns ride EACH lax.sort
+    # alongside the key (grad_sort_mode="payload" only). 15 -> two sorts of
+    # <=16 operands; 8 -> four sorts of <=9 operands. Narrower sorts compile
+    # and (on some backends) run faster, at the cost of re-sorting the key;
+    # splits may permute rows within an equal-key segment, which is safe
+    # because consumers only take per-segment sums. Measured per backend via
+    # benchmarks/micro_sort_split.py + ab_headline.py.
+    grad_sort_split: int = 15
     # How face->shared-vertex gradient reductions aggregate their 3F rows:
     # "sort" runs the runtime payload sort + valence-bounded segmented scan
     # + segment tails (utils/segments.sort_rows_by_key); "static" replaces
@@ -176,6 +184,11 @@ class RasterConfig:
             raise ValueError(
                 f"grad_sort_mode must be 'payload' or 'iota', got "
                 f"{self.grad_sort_mode!r}"
+            )
+        if not (1 <= self.grad_sort_split <= 29):
+            raise ValueError(
+                f"grad_sort_split must be in [1, 29], got "
+                f"{self.grad_sort_split!r}"
             )
         if self.vertex_sort_mode not in ("sort", "static"):
             raise ValueError(

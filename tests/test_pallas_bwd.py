@@ -382,6 +382,28 @@ def test_scatter_static_table_wide_batch_agrees():
                                    rtol=2e-6, atol=2e-6)
 
 
+def test_scatter_entry_grads_sort_split_invariant():
+    """scatter_entry_grads (the op-level consumer of the split sorts, on
+    BOTH grad_sort_mode paths) returns identical gradients for every
+    sort_split width -- the plumbing behind RasterConfig.grad_sort_split."""
+    rng = np.random.default_rng(23)
+    f, b, r = 53, 2, 768
+    faces = jnp.asarray(rng.integers(0, 40, (f, 3)).astype(np.int32))
+    entry = jnp.asarray(rng.integers(0, b * f, (r,)).astype(np.int32))
+    recs = jnp.asarray(rng.normal(size=(r, 32)).astype(np.float32))
+    base = jax.jit(lambda g, e: scatter_entry_grads(
+        g, e, faces, 40, b, max_tiles_per_face=16))(recs, entry)
+    for mode in ("payload", "iota"):
+        for split in (8, 10, 29):
+            got = jax.jit(lambda g, e: scatter_entry_grads(
+                g, e, faces, 40, b, max_tiles_per_face=16,
+                sort_mode=mode, sort_split=split))(recs, entry)
+            for a, b_ in zip(base, got):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), rtol=2e-6, atol=2e-6,
+                    err_msg=f"mode={mode} split={split}")
+
+
 def test_sort_split_and_tail_lowering_invariant():
     """The face reduction is invariant to sort_rows_by_key's max_payloads
     split (splits may permute rows WITHIN a key segment -- consumers are
